@@ -1,0 +1,140 @@
+"""Similarity measures.
+
+Functional JAX ports of the reference's similarity losses:
+* :func:`ncc_loss` — ``layers/losses.py:14-29`` (the configured ``sim_class``,
+  ``cur_task_setting.json:51``).
+* :func:`ncc_sqr_loss` — squared-NCC variant, ``layers/layers.py:238-255``.
+* :func:`ngf_loss` — 2D normalized gradient fields, ``layers/losses.py:31-58``.
+* :func:`gradient_loss` — Sobel-like 3D gradient MSE, ``layers/layers.py:258-287``.
+* :func:`lncc_loss` — local (windowed) NCC; not in the reference repo but part
+  of the target training configuration (driver north star); standard
+  VoxelMorph-style implementation via box-filter sums, TPU-friendly as
+  separable 1D convolutions.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+
+def ncc_loss(pred, target):
+    """1 - mean_batch NCC. Matches ``layers/losses.py:14-29`` including its
+    ``+1e-10`` on the centered values."""
+    b = pred.shape[0]
+    x = pred.reshape(b, -1)
+    y = target.reshape(b, -1)
+    xm = x - jnp.mean(x, axis=1, keepdims=True) + 1e-10
+    ym = y - jnp.mean(y, axis=1, keepdims=True) + 1e-10
+    ncc = jnp.mean(xm * ym, axis=1) / jnp.sqrt(
+        jnp.mean(xm ** 2, axis=1) * jnp.mean(ym ** 2, axis=1))
+    return 1.0 - jnp.mean(ncc)
+
+
+def ncc_sqr_loss(pred, target):
+    """Squared-NCC variant of ``layers/layers.py:238-255``: per-channel
+    squared correlation, channel-mean, batch-sum, ``1 - sum/B``."""
+    b, c = pred.shape[0], pred.shape[1]
+    x = pred.reshape(b, c, -1)
+    y = target.reshape(b, c, -1)
+    xm = x - jnp.mean(x, axis=2, keepdims=True)
+    ym = y - jnp.mean(y, axis=2, keepdims=True)
+    ncc_sqr = (jnp.mean(xm * ym, axis=2) ** 2) / (
+        jnp.mean(xm ** 2, axis=2) * jnp.mean(ym ** 2, axis=2) + 1e-12)
+    return 1.0 - jnp.sum(jnp.mean(ncc_sqr, axis=1)) / b
+
+
+def _ngf_gradient(x, eps):
+    """Normalized 2D gradient with the reference's linear boundary condition
+    (``layers/losses.py:43-58``). x: (B, C, H, W)."""
+    gx = jnp.pad(x[:, :, 2:, :] - x[:, :, :-2, :], ((0, 0), (0, 0), (1, 1), (0, 0)))
+    gy = jnp.pad(x[:, :, :, 2:] - x[:, :, :, :-2], ((0, 0), (0, 0), (0, 0), (1, 1)))
+    gx = gx.at[:, :, 0, :].set(x[:, :, 1, :] - x[:, :, 0, :])
+    gx = gx.at[:, :, -1, :].set(x[:, :, -1, :] - x[:, :, -2, :])
+    gy = gy.at[:, :, :, 0].set(x[:, :, :, 1] - x[:, :, :, 0])
+    gy = gy.at[:, :, :, -1].set(x[:, :, :, -1] - x[:, :, :, -2])
+    g = jnp.stack([gx, gy], axis=-1)
+    return g / jnp.sqrt(jnp.sum(g ** 2, axis=-1, keepdims=True) + eps)
+
+
+def ngf_loss(i0, i1, eps=1e-10):
+    """Normalized-gradient-field loss for 2D images (``layers/losses.py:31-58``)."""
+    g0 = _ngf_gradient(i0, eps)
+    g1 = _ngf_gradient(i1, eps)
+    dot = jnp.sum(g0 * g1, axis=-1)
+    return 1.0 - jnp.mean(dot ** 2)
+
+
+_SOBEL_BASE = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
+
+
+def _sobel3d(x, axis):
+    """3D Sobel-like gradient (filter of ``layers/layers.py:258-275``),
+    'same' zero padding. x: (B, 1, D, W, H)."""
+    fil = jnp.zeros((3, 3, 3))
+    if axis == 0:
+        fil = fil.at[0].set(_SOBEL_BASE).at[2].set(-_SOBEL_BASE)
+    elif axis == 1:
+        fil = fil.at[:, 0].set(_SOBEL_BASE).at[:, 2].set(-_SOBEL_BASE)
+    else:
+        fil = fil.at[:, :, 0].set(_SOBEL_BASE).at[:, :, 2].set(-_SOBEL_BASE)
+    kernel = fil[None, None]  # (O=1, I=1, 3, 3, 3)
+    return jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1, 1), padding="SAME",
+        dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+
+
+def gradient_loss(x, y):
+    """MSE between Sobel gradients of x and y (``layers/layers.py:278-287``)."""
+    total = 0.0
+    for axis in range(3):
+        total = total + jnp.mean((_sobel3d(x, axis) - _sobel3d(y, axis)) ** 2)
+    return total
+
+
+def _box_sum(x, win):
+    """Separable box-filter sum over the spatial dims of (B, C, D, W, H)."""
+    for axis in (2, 3, 4):
+        kshape = [1, 1, 1]
+        kshape[axis - 2] = win
+        kernel = jnp.ones((1, 1, *kshape), dtype=x.dtype)
+        x = jax.lax.conv_general_dilated(
+            x, kernel, window_strides=(1, 1, 1), padding="SAME",
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+    return x
+
+
+def lncc_loss(pred, target, win=9, eps=1e-5):
+    """Local NCC over ``win``-cubed windows, 1 - mean(cc^2)."""
+    i, j = pred, target
+    i2, j2, ij = i * i, j * j, i * j
+    n = float(win ** 3)
+    si, sj = _box_sum(i, win), _box_sum(j, win)
+    si2, sj2, sij = _box_sum(i2, win), _box_sum(j2, win), _box_sum(ij, win)
+    mu_i, mu_j = si / n, sj / n
+    cross = sij - mu_j * si - mu_i * sj + mu_i * mu_j * n
+    var_i = si2 - 2 * mu_i * si + mu_i * mu_i * n
+    var_j = sj2 - 2 * mu_j * sj + mu_j * mu_j * n
+    cc = (cross * cross) / (var_i * var_j + eps)
+    return 1.0 - jnp.mean(cc)
+
+
+SIMILARITY_REGISTRY = {
+    "ncc": ncc_loss,
+    "ncc_sqr": ncc_sqr_loss,
+    "ngf": ngf_loss,
+    "lncc": lncc_loss,
+    # reference class-path aliases (``cur_task_setting.json:51``)
+    "liftreg.layers.losses.NCCLoss": ncc_loss,
+    "layers.losses.NCCLoss": ncc_loss,
+    "liftreg.layers.layers.NCCLoss": ncc_sqr_loss,
+    "liftreg.layers.losses.NGFLoss": ngf_loss,
+}
+
+
+def get_similarity(name):
+    if name in SIMILARITY_REGISTRY:
+        return SIMILARITY_REGISTRY[name]
+    raise KeyError(f"unknown similarity '{name}'; known: "
+                   f"{sorted(SIMILARITY_REGISTRY)}")

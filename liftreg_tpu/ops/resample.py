@@ -1,0 +1,175 @@
+"""Differentiable image resampling (the spatial-transformer core).
+
+TPU-native replacement for the reference's ``torch.nn.functional.grid_sample``
+uses (``net_utils.py:26-38``, ``sdct_projection_utils.py:81,89-93``). The
+semantics reproduced exactly are torch's ``align_corners=True`` with
+``zeros`` / ``border`` padding in ``bilinear`` / ``nearest`` modes.
+
+Implementation notes (TPU):
+* The warp is a true data-dependent gather. We express it as 2**nd
+  flattened ``take_along_axis`` gathers (one per interpolation corner) so
+  XLA lowers to its native gather; weights/masks fuse into the gather's
+  consumers. Static shapes throughout.
+* ``warp_image`` follows the map convention of :mod:`liftreg_tpu.coords`:
+  channel ``c`` of ``phi`` indexes spatial axis ``c`` — the reference's
+  (x,y,z)->(z,y,x) channel flip (``net_utils.py:27-30``) is folded in.
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def _gather_nd(vol_flat, idx_flat):
+    """vol_flat: (B, C, S); idx_flat: (B, M) int32 -> (B, C, M)."""
+    B, C, S = vol_flat.shape
+    idx = jnp.broadcast_to(idx_flat[:, None, :], (B, C, idx_flat.shape[-1]))
+    return jnp.take_along_axis(vol_flat, idx, axis=2)
+
+
+def grid_sample(vol, coords, mode="bilinear", padding="zeros"):
+    """Sample ``vol`` at pixel-space ``coords`` (align_corners=True semantics).
+
+    Args:
+      vol: ``(B, C, *spatial)`` with 2 or 3 spatial dims.
+      coords: ``(B, *out_shape, ndim)`` pixel coordinates; ``coords[..., d]``
+        indexes spatial axis ``d`` of ``vol`` (NOT torch's reversed order —
+        callers converting torch-style grids must flip the last axis).
+      mode: ``bilinear`` (tri/bilinear) or ``nearest``.
+      padding: ``zeros`` (out-of-range taps contribute 0, matching torch
+        zeros+align_corners) or ``border`` (clamp).
+
+    Returns:
+      ``(B, C, *out_shape)``.
+    """
+    spatial = vol.shape[2:]
+    ndim = len(spatial)
+    assert coords.shape[-1] == ndim, (coords.shape, vol.shape)
+    B, C = vol.shape[:2]
+    out_shape = coords.shape[1:-1]
+
+    vol_flat = vol.reshape(B, C, -1)
+    coords_flat = coords.reshape(B, -1, ndim)
+    compute_dtype = vol.dtype if jnp.issubdtype(vol.dtype, jnp.floating) else jnp.float32
+    c = coords_flat.astype(compute_dtype)
+
+    strides = []
+    s = 1
+    for n in reversed(spatial):
+        strides.append(s)
+        s *= n
+    strides = strides[::-1]  # stride per spatial axis
+
+    if mode == "nearest":
+        # torch nearest with align_corners=True: round the pixel coordinate
+        # half-up is what torch does via floor(x + 0.5)? torch uses
+        # round-to-nearest (std::nearbyint semantics ~ round-half-to-even);
+        # empirically floor(x+0.5) matches for the non-degenerate case and is
+        # what we golden-test against torch (tests/test_resample.py).
+        idx_axes = [jnp.floor(c[..., d] + 0.5).astype(jnp.int32) for d in range(ndim)]
+        inb = jnp.ones(c.shape[:-1], dtype=bool)
+        flat = jnp.zeros(c.shape[:-1], dtype=jnp.int32)
+        for d, n in enumerate(spatial):
+            inb &= (idx_axes[d] >= 0) & (idx_axes[d] <= n - 1)
+            flat += jnp.clip(idx_axes[d], 0, n - 1) * strides[d]
+        out = _gather_nd(vol_flat, flat)
+        if padding == "zeros":
+            out = out * inb[:, None, :].astype(out.dtype)
+        return out.reshape(B, C, *out_shape)
+
+    # bilinear / trilinear
+    floors, fracs, masks_lo, masks_hi, clips_lo, clips_hi = [], [], [], [], [], []
+    for d, n in enumerate(spatial):
+        cd = c[..., d]
+        f = jnp.floor(cd)
+        fi = f.astype(jnp.int32)
+        floors.append(fi)
+        fracs.append(cd - f)
+        masks_lo.append((fi >= 0) & (fi <= n - 1))
+        masks_hi.append((fi + 1 >= 0) & (fi + 1 <= n - 1))
+        clips_lo.append(jnp.clip(fi, 0, n - 1))
+        clips_hi.append(jnp.clip(fi + 1, 0, n - 1))
+
+    out = None
+    for corner in range(2 ** ndim):
+        flat = jnp.zeros(c.shape[:-1], dtype=jnp.int32)
+        w = jnp.ones(c.shape[:-1], dtype=compute_dtype)
+        m = jnp.ones(c.shape[:-1], dtype=bool)
+        for d in range(ndim):
+            hi = (corner >> d) & 1
+            if hi:
+                flat += clips_hi[d] * strides[d]
+                w = w * fracs[d]
+                m &= masks_hi[d]
+            else:
+                flat += clips_lo[d] * strides[d]
+                w = w * (1.0 - fracs[d])
+                m &= masks_lo[d]
+        if padding == "zeros":
+            w = w * m.astype(compute_dtype)
+        tap = _gather_nd(vol_flat, flat) * w[:, None, :]
+        out = tap if out is None else out + tap
+    return out.reshape(B, C, *out_shape)
+
+
+def grid_sample_normalized(vol, grid, mode="bilinear", padding="zeros"):
+    """Like :func:`grid_sample` but ``grid`` holds [-1,1] normalized coords
+    (align_corners=True), ``grid[..., d]`` indexing spatial axis ``d``."""
+    spatial = vol.shape[2:]
+    scale = jnp.asarray([(n - 1) * 0.5 for n in spatial], dtype=grid.dtype)
+    coords = (grid + 1.0) * scale
+    return grid_sample(vol, coords, mode=mode, padding=padding)
+
+
+def warp_image(image, phi, mode="bilinear", zero_boundary=True,
+               scale_intensity=True):
+    """Warp ``image`` by map ``phi`` — the reference's ``Bilinear`` transform
+    (``net_utils.py:9-56``) with its channel flip already folded in.
+
+    Args:
+      image: ``(B, C, D, W, H)``.
+      phi: ``(B, 3, D, W, H)`` normalized map ([-1,1]); channel ``c``
+        indexes spatial axis ``c``.
+      zero_boundary: zeros padding if True else border (``net_utils.py:21``).
+      scale_intensity: shift [-1,1] intensities to [0,1] around the warp
+        (``net_utils.py:48-52``), so zeros padding maps to -1 background.
+    """
+    grid = jnp.moveaxis(phi, 1, -1)  # (B, D, W, H, 3)
+    padding = "zeros" if zero_boundary else "border"
+    if scale_intensity:
+        out = grid_sample_normalized((image + 1.0) * 0.5, grid, mode=mode,
+                                     padding=padding)
+        return out * 2.0 - 1.0
+    return grid_sample_normalized(image, grid, mode=mode, padding=padding)
+
+
+def resize_nearest_2d(img, out_hw):
+    """torch ``F.interpolate(mode='nearest')`` for 2D: src = floor(dst*in/out).
+
+    Used by the no-backprojection lift (``LiftRegDeformSubspace.py:63-64``,
+    where the reference calls ``F.interpolate`` with the default mode).
+    ``img``: (B, C, H, W) -> (B, C, out_hw[0], out_hw[1]).
+    """
+    B, C, H, W = img.shape
+    oh, ow = out_hw
+    ih = jnp.floor(jnp.arange(oh) * (H / oh)).astype(jnp.int32)
+    iw = jnp.floor(jnp.arange(ow) * (W / ow)).astype(jnp.int32)
+    return img[:, :, ih[:, None], iw[None, :]]
+
+
+def resize_trilinear(vol, out_shape):
+    """Trilinear resize with align_corners=True (torch ``F.interpolate``
+    ``mode='trilinear', align_corners=True``; used by the U-Net decoder,
+    reference ``models/previous/RegNet2D3D.py:128-137``)."""
+    B, C = vol.shape[:2]
+    spatial = vol.shape[2:]
+    axes = []
+    for n_out, n_in in zip(out_shape, spatial):
+        if n_out == 1:
+            axes.append(jnp.zeros((n_out,), dtype=vol.dtype))
+        else:
+            axes.append(jnp.linspace(0.0, n_in - 1.0, n_out, dtype=vol.dtype))
+    grids = jnp.meshgrid(*axes, indexing="ij")
+    coords = jnp.stack(grids, axis=-1)[None]
+    coords = jnp.broadcast_to(coords, (B,) + coords.shape[1:])
+    return grid_sample(vol, coords, mode="bilinear", padding="border")

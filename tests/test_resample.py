@@ -1,0 +1,103 @@
+"""Golden tests: warp/grid_sample vs torch.nn.functional.grid_sample
+(the reference's primitive, ``net_utils.py:26-38``)."""
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from liftreg_tpu import coords
+from liftreg_tpu.ops import resample
+
+
+def torch_bilinear_warp(image, phi, mode, padding_mode, scale):
+    """Reference-semantics warp: channel flip + grid_sample, as in
+    ``net_utils.Bilinear`` (9-56)."""
+    img_t = torch.from_numpy(image)
+    phi_t = torch.from_numpy(phi)
+    ordered = torch.zeros_like(phi_t)
+    ordered[:, 0] = phi_t[:, 2]
+    ordered[:, 1] = phi_t[:, 1]
+    ordered[:, 2] = phi_t[:, 0]
+    if scale:
+        img_t = (img_t + 1.0) / 2.0
+    out = F.grid_sample(img_t, ordered.permute(0, 2, 3, 4, 1),
+                        padding_mode=padding_mode, mode=mode,
+                        align_corners=True)
+    if scale:
+        out = out * 2.0 - 1.0
+    return out.numpy()
+
+
+@pytest.mark.parametrize("mode", ["bilinear", "nearest"])
+@pytest.mark.parametrize("zero_boundary", [True, False])
+@pytest.mark.parametrize("scale", [True, False])
+def test_warp_matches_torch(mode, zero_boundary, scale):
+    rng = np.random.default_rng(0)
+    B, C, D, W, H = 2, 1, 9, 10, 11
+    image = rng.uniform(-1, 1, size=(B, C, D, W, H)).astype(np.float32)
+    idm = coords.identity_map_np((D, W, H))[None]
+    disp = rng.uniform(-0.35, 0.35, size=(B, 3, D, W, H)).astype(np.float32)
+    phi = (idm + disp).astype(np.float32)
+
+    want = torch_bilinear_warp(image, phi, mode,
+                               "zeros" if zero_boundary else "border", scale)
+    got = np.asarray(resample.warp_image(
+        jnp.asarray(image), jnp.asarray(phi), mode=mode,
+        zero_boundary=zero_boundary, scale_intensity=scale))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_warp_identity_is_noop():
+    rng = np.random.default_rng(1)
+    image = rng.uniform(-1, 1, size=(1, 1, 8, 8, 8)).astype(np.float32)
+    phi = coords.identity_map_np((8, 8, 8))[None]
+    out = np.asarray(resample.warp_image(jnp.asarray(image), jnp.asarray(phi)))
+    np.testing.assert_allclose(out, image, rtol=1e-5, atol=1e-5)
+
+
+def test_closed_form_translation():
+    # Shifting phi by exactly one voxel in normalized units shifts the image.
+    D = 8
+    image = np.zeros((1, 1, D, D, D), dtype=np.float32)
+    image[0, 0, 3, 4, 5] = 1.0
+    phi = coords.identity_map_np((D, D, D))[None].copy()
+    phi[:, 0] += 2.0 / (D - 1)  # sample one voxel further along axis 0
+    out = np.asarray(resample.warp_image(jnp.asarray(image), jnp.asarray(phi),
+                                         scale_intensity=False))
+    assert out[0, 0, 2, 4, 5] == pytest.approx(1.0, abs=1e-5)
+    assert out.sum() == pytest.approx(1.0, abs=1e-4)
+
+
+def test_grid_sample_2d_matches_torch():
+    rng = np.random.default_rng(2)
+    B, C, Hh, Ww = 3, 2, 13, 17
+    img = rng.normal(size=(B, C, Hh, Ww)).astype(np.float32)
+    grid_norm = rng.uniform(-1.3, 1.3, size=(B, 5, 7, 2)).astype(np.float32)
+
+    # torch order: grid[..., 0] indexes W (last axis), grid[..., 1] indexes H.
+    want = F.grid_sample(torch.from_numpy(img), torch.from_numpy(grid_norm),
+                         mode="bilinear", padding_mode="zeros",
+                         align_corners=True).numpy()
+    ours = np.asarray(resample.grid_sample_normalized(
+        jnp.asarray(img), jnp.asarray(grid_norm[..., ::-1]),
+        mode="bilinear", padding="zeros"))
+    np.testing.assert_allclose(ours, want, rtol=2e-5, atol=2e-5)
+
+
+def test_resize_nearest_matches_torch():
+    rng = np.random.default_rng(3)
+    img = rng.normal(size=(2, 4, 9, 11)).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(img), size=[16, 16]).numpy()
+    got = np.asarray(resample.resize_nearest_2d(jnp.asarray(img), (16, 16)))
+    np.testing.assert_allclose(got, want)
+
+
+def test_resize_trilinear_matches_torch():
+    rng = np.random.default_rng(4)
+    vol = rng.normal(size=(2, 3, 5, 6, 7)).astype(np.float32)
+    want = F.interpolate(torch.from_numpy(vol), scale_factor=2,
+                         mode="trilinear", align_corners=True).numpy()
+    got = np.asarray(resample.resize_trilinear(jnp.asarray(vol), (10, 12, 14)))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
