@@ -1,0 +1,63 @@
+"""Benchmark: end-to-end registrations/sec/chip.
+
+One fused XLA program per registration (liftreg_tpu.pipeline): HU volume ->
+attenuation -> DRR simulation (4 views, 240^2) -> backprojection lift ->
+encoder + PCA expansion -> warp. This is BASELINE.json config 1; the
+reference publishes no benchmark numbers, so vs_baseline is 1.0.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from liftreg_tpu.pipeline import RegistrationPipeline
+
+    sz, latent = 160, 56
+    rng = np.random.default_rng(0)
+    pipe = RegistrationPipeline((sz, sz, sz), latent_dim=latent)
+    pca = {
+        "vectors": jnp.asarray(
+            rng.normal(size=(latent, 3 * sz ** 3)).astype(np.float32) * 0.01),
+        "mean": jnp.asarray(
+            rng.normal(size=(3 * sz ** 3,)).astype(np.float32) * 0.01),
+    }
+    params = pipe.init_params(jax.random.PRNGKey(0), pca)
+
+    B = 1
+    source_hu = jnp.asarray(
+        rng.uniform(-1000, 0, (B, 1, sz, sz, sz)).astype(np.float32))
+    target_hu = jnp.asarray(
+        rng.uniform(-1000, 0, (B, 1, sz, sz, sz)).astype(np.float32))
+    seg = jnp.asarray((rng.uniform(size=(B, 1, sz, sz, sz)) > 0.4)
+                      .astype(np.float32))
+
+    warped, phi = pipe.register(params, pca, source_hu, target_hu, seg, seg)
+    # under the axon tunnel block_until_ready returns at dispatch; force a
+    # scalar readback to time completed work
+    float(jnp.sum(warped))
+
+    n_iter = 10
+    t0 = time.perf_counter()
+    for _ in range(n_iter):
+        warped, phi = pipe.register(params, pca, source_hu, target_hu,
+                                    seg, seg)
+        float(jnp.sum(warped))
+    dt = (time.perf_counter() - t0) / n_iter
+
+    print(json.dumps({
+        "metric": "fused_drr_backproj_register_throughput",
+        "value": round(B / dt, 3),
+        "unit": "registrations/sec/chip",
+        "vs_baseline": 1.0,
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,62 @@
+"""LiftReg subspace model without backprojection (ablation).
+
+Equivalent of ``src/liftreg/models/LiftRegDeformSubspace.py``: the 2D->3D
+lift is a nearest-neighbor resize of each projection to (D, H) broadcast
+along the coronal axis (``:62-65``; torch ``F.interpolate`` defaults to
+``nearest``), otherwise identical encoder/PCA/warp.
+"""
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..coords import identity_map
+from ..ops import resample
+from .subspace_backproj import (SubspaceEncoder, expand_pca, mask_lung)
+
+
+class LiftRegSubspace(nn.Module):
+    img_sz: Sequence[int]
+    latent_dim: int = 56
+    drr_feature_num: int = 4
+    enc_filters: Sequence[int] = (16, 32, 32, 32, 32, 32)
+    compute_dtype: Any = None
+
+    def setup(self):
+        self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
+                                       dtype=self.compute_dtype)
+
+    def __call__(self, inputs, pca):
+        moving = inputs["source"]
+        target = inputs["target"]
+        target_proj = inputs["target_proj"]
+        if "source_label" in inputs:
+            moving_cp = mask_lung(moving, inputs["source_label"])
+            target_cp = mask_lung(target, inputs["target_label"])
+        else:
+            moving_cp, target_cp = moving, target
+
+        D, W, H = [int(s) for s in self.img_sz]
+        lifted2d = resample.resize_nearest_2d(target_proj, (D, H))  # (B,P,D,H)
+        lifted = jnp.broadcast_to(lifted2d[:, :, :, None, :],
+                                  lifted2d.shape[:3] + (W,) + lifted2d.shape[3:])
+
+        x = jnp.concatenate([moving, lifted], axis=1)
+        x = jnp.moveaxis(x, 1, -1)
+        if self.compute_dtype is not None:
+            x = x.astype(self.compute_dtype)
+        coefs = self.encoder(x)
+
+        disp = expand_pca(coefs, pca["vectors"], pca["mean"], self.img_sz)
+        phi = disp + identity_map(self.img_sz)[None]
+        warped = resample.warp_image(moving_cp, phi, zero_boundary=True,
+                                     scale_intensity=True)
+        return {
+            "warped": warped,
+            "phi": phi,
+            "params": disp,
+            "target": target_cp,
+            "pca_coefs": coefs,
+        }

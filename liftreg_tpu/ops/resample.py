@@ -21,10 +21,21 @@ import jax.numpy as jnp
 
 
 def _gather_nd(vol_flat, idx_flat):
-    """vol_flat: (B, C, S); idx_flat: (B, M) int32 -> (B, C, M)."""
+    """vol_flat: (B, C, S); idx_flat: (B, M) int32 -> (B, C, M).
+
+    Performance note (TPU): batch folds into the flat index so each channel
+    is ONE 1-D ``jnp.take`` over a flat buffer — XLA's fast scalar-gather
+    path. The batched ``take_along_axis`` formulation hits a pathological
+    lowering (~20x slower at 160^3; measured 6.8s vs 0.34s for a full
+    8-corner warp).
+    """
     B, C, S = vol_flat.shape
-    idx = jnp.broadcast_to(idx_flat[:, None, :], (B, C, idx_flat.shape[-1]))
-    return jnp.take_along_axis(vol_flat, idx, axis=2)
+    M = idx_flat.shape[-1]
+    offsets = (jnp.arange(B, dtype=idx_flat.dtype) * S)[:, None]
+    flat = (idx_flat + offsets).reshape(-1)          # (B*M,)
+    outs = [jnp.take(vol_flat[:, c].reshape(-1), flat).reshape(B, M)
+            for c in range(C)]
+    return jnp.stack(outs, axis=1)                   # (B, C, M)
 
 
 def grid_sample(vol, coords, mode="bilinear", padding="zeros"):

@@ -1,0 +1,98 @@
+"""Fused inference pipeline: CT bytes -> registration, one XLA program.
+
+The reference runs preprocessing (``tools/preprocessingDRR.py``), the lift,
+the network and the warp as separate host-mediated stages. Here the whole
+inference path — HU clip -> attenuation -> DRR simulation -> projection
+normalization -> backprojection lift -> encoder -> PCA expansion -> warp —
+is a single jitted program: a CT pair goes from raw HU arrays to a
+displacement field and warped volume without host round-trips
+(BASELINE.json config 1).
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import LiftRegSubspaceBackproj
+from .ops import drr
+
+
+def normalize_hu(vol_hu):
+    """HU clip [-1000, 0] -> [-1, 1] (``Registration2D3DDataset.py:85-87``)."""
+    return jnp.clip(vol_hu, -1000.0, 0.0) / 1000.0 * 2.0 + 1.0
+
+
+def normalize_drr(proj):
+    """DRR clip [0, 6] -> [-1, 1] (``Registration2D3DDataset.py:95-96``)."""
+    return jnp.clip(proj, 0.0, 6.0) / 6.0 * 2.0 - 1.0
+
+
+class RegistrationPipeline:
+    """Build once (model + poses static), then call :meth:`register`.
+
+    Example::
+
+        pipe = RegistrationPipeline((160,160,160), latent_dim=56)
+        warped, phi = pipe.register(params, pca, src_hu, tgt_hu,
+                                    src_seg, tgt_seg)
+    """
+
+    def __init__(self, img_sz=(160, 160, 160), latent_dim=56, n_proj=4,
+                 scan_range_deg=30.0, spacing=(2.2, 2.2, 2.2),
+                 resolution=None, compute_dtype=None):
+        self.img_sz = tuple(int(s) for s in img_sz)
+        self.spacing = tuple(float(s) for s in spacing)
+        self.resolution = tuple(resolution) if resolution is not None \
+            else drr.default_resolution(self.img_sz)
+        self.poses = drr.synthesize_poses(scan_range_deg, n_proj,
+                                          self.img_sz[1])
+        self.model = LiftRegSubspaceBackproj(
+            img_sz=self.img_sz, latent_dim=latent_dim,
+            drr_feature_num=n_proj, compute_dtype=compute_dtype)
+        self._register = jax.jit(self._register_impl)
+
+    def init_params(self, rng_key, pca):
+        B = 1
+        sz = self.img_sz
+        dummy = {
+            "source": jnp.zeros((B, 1) + sz, jnp.float32),
+            "target": jnp.zeros((B, 1) + sz, jnp.float32),
+            "source_label": jnp.ones((B, 1) + sz, jnp.float32),
+            "target_label": jnp.ones((B, 1) + sz, jnp.float32),
+            "target_proj": jnp.zeros(
+                (B, self.poses.shape[0]) + self.resolution, jnp.float32),
+            "target_poses": jnp.asarray(self.poses)[None],
+            "spacing": jnp.asarray(self.spacing)[None],
+        }
+        return jax.jit(self.model.init)(rng_key, dummy, pca)
+
+    def _register_impl(self, params, pca, source_hu, target_hu,
+                       source_seg, target_seg):
+        # NOTE: pca (up to 2.75 GB) must be an argument — closing over it
+        # captures it as a compile-time constant and compilation stalls.
+        att = drr.calc_relative_atten_coef(target_hu[:, 0])
+        proj = drr.project(att, self.poses, self.resolution, self.spacing)
+        proj = normalize_drr(proj)
+        inputs = {
+            "source": normalize_hu(source_hu),
+            "target": normalize_hu(target_hu),
+            "target_proj": proj,
+            "target_poses": jnp.asarray(self.poses)[None],
+            "spacing": jnp.asarray(self.spacing)[None],
+        }
+        if source_seg is not None:
+            inputs["source_label"] = source_seg
+            inputs["target_label"] = target_seg
+        out = self.model.apply(params, inputs, pca)
+        return out["warped"], out["phi"]
+
+    def register(self, params, pca, source_hu, target_hu, source_seg=None,
+                 target_seg=None):
+        """source_hu/target_hu: (B, 1, D, W, H) HU volumes (SPR orientation);
+        segs optional (B, 1, D, W, H) in {0,1}. Returns (warped, phi)."""
+        return self._register(params, pca, source_hu, target_hu,
+                              source_seg, target_seg)

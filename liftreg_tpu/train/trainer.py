@@ -1,0 +1,443 @@
+"""Training / evaluation orchestrator.
+
+Behavioral equivalent of ``src/liftreg/networks/RegistrationNet.py``: per-phase
+datasets and loaders (``:44-70``), model/loss/optimizer from config
+(``:95-106``), resume (``:109-128``), jitted train step (fwd+loss+grad+Adam,
+``step:389-406``), no-grad validation with seg metrics / NCC score / folding
+(``val_step:408-439``, ``_compute_metrics:198-218``), the epoch loop with
+val-first, best-model-on-score checkpointing and TensorBoard-style scalars
+(``_train_model:441-565``), and the test loop (``_test_model:567-587``).
+
+TPU-native design:
+* the entire train step — model forward, loss, backward, Adam update — is ONE
+  jitted XLA program with donated (params, opt_state);
+* epoch-dependent scalars (reg factor, lr) are host floats injected as
+  operands / optax hyperparams, so nothing retraces across epochs;
+* batches shard over a ``data`` mesh axis (parallel/mesh.py) — single-chip
+  and v5e-8 use the same code path;
+* metrics that the reference computes in numpy (dice, folding) stay host-side
+  off the step's critical path.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..data.dataset import DataLoader, get_dataset
+from ..losses import get_loss, ncc_loss
+from ..models import get_model
+from ..ops.fd import compute_jacobi_map
+from ..parallel import mesh as mesh_lib
+from ..utils import visualize
+from ..utils.checkpoint import resume_train, save_checkpoint
+from ..utils.io_utils import make_dir, save_deformations, save_fig_3d
+from ..utils.metrics import get_multi_metric
+from ..ops.resample import warp_image
+
+
+class MetricsLogger:
+    """JSONL metrics log + optional TensorBoard (via torch, if available)."""
+
+    def __init__(self, log_path):
+        make_dir(log_path)
+        self.jsonl = open(os.path.join(log_path, "metrics.jsonl"), "a")
+        self.tb = None
+        try:
+            from torch.utils.tensorboard import SummaryWriter
+            self.tb = SummaryWriter(log_path, flush_secs=30)
+        except Exception:  # noqa: BLE001 — tensorboard optional
+            pass
+
+    def add_scalar(self, tag, value, step):
+        self.jsonl.write(json.dumps(
+            {"tag": tag, "value": float(value), "step": int(step)}) + "\n")
+        self.jsonl.flush()
+        if self.tb is not None:
+            self.tb.add_scalar(tag, float(value), int(step))
+
+    def close(self):
+        self.jsonl.close()
+        if self.tb is not None:
+            self.tb.close()
+
+
+def load_pca(pca_path):
+    """Load {pca_vectors, pca_mean} from ``pca_path`` (reference layout,
+    ``LiftRegDeformSubspaceBackproj.py:42-43``: on-disk vectors are
+    (latent, 3*D*W*H))."""
+    vectors = np.load(os.path.join(pca_path, "pca_vectors.npy"))
+    mean = np.load(os.path.join(pca_path, "pca_mean.npy"))
+    return {"vectors": jnp.asarray(vectors, jnp.float32),
+            "mean": jnp.asarray(mean, jnp.float32)}
+
+
+class RegistrationTrainer:
+    """Construct from a ``ParameterDict`` (or plain nested dict) with the
+    ``cur_task_setting.json`` schema."""
+
+    def __init__(self, setting, n_devices: Optional[int] = None,
+                 mesh: Optional[Any] = None):
+        get = lambda d, k, default=None: (d[k] if k in d else default)
+        train_setting = setting["train"]
+        dataset_setting = setting["dataset"]
+        self.mode = get(train_setting, "mode", "train")
+
+        data_path = dataset_setting["data_path"]
+        loader_cfg = train_setting["dataloader"]
+        batch_size = loader_cfg["batch_size"]
+        shuffle = get(loader_cfg, "shuffle", [True, True, False, False])
+
+        dataset_cls = get_dataset(dataset_setting["dataset_class"])
+        phases = (["train", "val", "debug"] if self.mode == "train"
+                  else ["test"])
+        self.datasets = {p: dataset_cls(data_path, phase=p,
+                                        option=dataset_setting)
+                         for p in phases}
+        shuffle_idx = {"train": 0, "val": 1, "test": 3, "debug": 2}
+        self.loaders = {p: DataLoader(self.datasets[p], batch_size=batch_size,
+                                      shuffle=bool(shuffle[shuffle_idx[p]]))
+                        for p in phases}
+
+        self.img_sz = tuple(get(dataset_setting, "img_after_resize",
+                                (160, 160, 160)))
+        self.spacing = 1.0 / (np.asarray(self.img_sz) - 1)
+
+        exp_folder = train_setting["output_path"]
+        self.check_point_path = os.path.join(exp_folder, "checkpoints")
+        self.record_path = os.path.join(exp_folder, "records")
+        self.log_path = os.path.join(exp_folder, "logs")
+        self.test_path = os.path.join(exp_folder, "tests")
+        for p in (self.check_point_path, self.record_path, self.log_path,
+                  self.test_path):
+            make_dir(p)
+
+        self.save_model_frequency = get(train_setting, "save_model_frequency", 5)
+        self.epochs = get(train_setting, "epoch", 100)
+        self.save_3d_img = get(train_setting, "save_3d_img", False)
+        self.val_frequency = get(train_setting, "val_frequency", 10)
+        self.save_fig = get(train_setting, "save_fig", True)
+        self.save_fig_frequency = get(train_setting, "save_fig_frequency", 2)
+        self.debug_on = get(train_setting, "debug_on", False)
+
+        # Model + PCA
+        model_cfg = train_setting["model"]
+        model_cfg = model_cfg.as_dict() if hasattr(model_cfg, "as_dict") else dict(model_cfg)
+        model_cls = get_model(train_setting["model_class"])
+        model_kwargs = {"img_sz": self.img_sz}
+        if "latent_dim" in model_cfg and model_cls.__name__ != "RegNet2D3D":
+            model_kwargs["latent_dim"] = int(model_cfg["latent_dim"])
+        if "drr_feature_num" in model_cfg:
+            model_kwargs["drr_feature_num"] = int(model_cfg["drr_feature_num"])
+        if model_cfg.get("compute_dtype") == "bfloat16":
+            model_kwargs["compute_dtype"] = jnp.bfloat16
+        self.model = model_cls(**model_kwargs)
+        pca_path = model_cfg.get("pca_path", "")
+        self.pca = load_pca(pca_path) if pca_path and os.path.isdir(pca_path) \
+            else None
+
+        # Loss
+        loss_cfg = train_setting["loss"]
+        loss_cfg = loss_cfg.as_dict() if hasattr(loss_cfg, "as_dict") else dict(loss_cfg)
+        self.loss = get_loss(train_setting["loss_class"])(loss_cfg)
+
+        # Optimizer / scheduler
+        from .optim import build_optimizer
+        optim_cfg = train_setting["optim"]
+        optim_cfg = optim_cfg.as_dict() if hasattr(optim_cfg, "as_dict") else dict(optim_cfg)
+        self.tx, self.base_lr, self.lr_scheduler = build_optimizer(optim_cfg)
+
+        # Mesh (single-chip and multi-chip share this path)
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(n_devices)
+
+        # Parameters
+        sample_batch = self._sample_batch()
+        self.params = jax.jit(self.model.init)(
+            jax.random.PRNGKey(get(train_setting, "seed", 2021)),
+            sample_batch, self.pca)
+        self.opt_state = self.tx.init(self.params)
+
+        # Resume / test restore
+        self.start_epoch = 0
+        self.global_step = {p: 0 for p in ("train", "val", "debug", "test")}
+        if self.mode == "train" and get(train_setting, "continue_train", False):
+            restored = resume_train(train_setting["continue_from"], self.params)
+            if restored:
+                self.start_epoch, self.global_step, state = restored
+                self.params = jax.device_put(state["params"])
+                if "opt_state" in state:
+                    try:
+                        from flax import serialization
+                        self.opt_state = serialization.from_state_dict(
+                            self.opt_state, state["opt_state"])
+                    except Exception as e:  # noqa: BLE001
+                        print(f"Warning: optimizer state not restored ({e})")
+                if "lr_state" in state and state["lr_state"]:
+                    self.lr_scheduler.load_state_dict(state["lr_state"])
+                continue_lr = get(train_setting, "continue_train_lr", -1)
+                if continue_lr and continue_lr > 0:
+                    self.lr_scheduler.base_lr = continue_lr
+        elif self.mode == "test":
+            restored = resume_train(train_setting["test_from"], self.params)
+            if restored:
+                self.start_epoch, self.global_step, state = restored
+                self.params = jax.device_put(state["params"])
+
+        self.cur_epoch = self.start_epoch
+        self.iter_count = 0
+        self.writer = MetricsLogger(self.log_path) if self.mode == "train" \
+            else None
+        self._train_step = self._build_train_step()
+        self._eval_step = self._build_eval_step()
+
+    # ------------------------------------------------------------------
+    def _sample_batch(self):
+        phase = "train" if self.mode == "train" else "test"
+        ds = self.datasets[phase]
+        if len(ds) == 0:
+            raise RuntimeError(f"empty dataset for phase {phase}")
+        sample, _ = ds[0]
+        batch = {k: jnp.asarray(v)[None] for k, v in sample.items()}
+        batch["epoch"] = 0
+        return self._prepare(batch)
+
+    @staticmethod
+    def _prepare(batch):
+        return {k: v for k, v in batch.items() if k != "epoch"}
+
+    def _build_train_step(self):
+        model, loss_obj = self.model, self.loss
+
+        def step(params, opt_state, batch, pca, reg_factor):
+            def loss_fn(p):
+                out = model.apply(p, batch, pca)
+                losses = loss_obj(out, reg_factor)
+                return losses["total_loss"], losses
+
+            (_, losses), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params)
+            updates, opt_state = self.tx.update(grads, opt_state, params)
+            import optax
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, losses
+
+        return jax.jit(step, donate_argnums=(0, 1))
+
+    def _build_eval_step(self):
+        model = self.model
+
+        def step(params, batch, pca):
+            out = model.apply(params, batch, pca)
+            res = {"warped": out["warped"], "phi": out["phi"],
+                   "target": out.get("target", batch.get("target"))}
+            if "source_label" in batch:
+                res["warped_label"] = warp_image(
+                    batch["source_label"], out["phi"], mode="nearest",
+                    zero_boundary=True, scale_intensity=False)
+            if "warped_proj" in out:
+                res["warped_proj"] = out["warped_proj"]
+                res["target_proj"] = out["target_proj"]
+            return res, out
+
+        return jax.jit(step)
+
+    # ------------------------------------------------------------------
+    def set_input(self, batch_names, epoch):
+        batch, names = batch_names
+        batch = mesh_lib.shard_batch(batch, self.mesh)
+        return batch, names
+
+    def _compute_metrics(self, eval_out, batch):
+        """dice/iou/recall/precision + score + folding
+        (``RegistrationNet.py:198-218``)."""
+        metrics = {}
+        if "warped_label" in eval_out and "target_label" in batch:
+            info = get_multi_metric(np.asarray(eval_out["warped_label"]),
+                                    np.asarray(batch["target_label"]),
+                                    verbose=False)
+            for k, v in info["batch_avg_res"].items():
+                metrics[k] = v[0, 1] if v.shape[1] > 1 else v[0, 0]
+        # reference quirk: score = 1 - ncc_loss/B (``:208-210``)
+        b = eval_out["warped"].shape[0]
+        metrics["score"] = 1.0 - float(
+            ncc_loss(eval_out["warped"], eval_out["target"])) / b
+        folding_sum, folding_count = compute_jacobi_map(
+            np.asarray(eval_out["phi"]), self.spacing, crop_boundary=True,
+            use_01=False)
+        metrics["folding_sum"] = folding_sum
+        metrics["folding_count"] = folding_count
+        return metrics
+
+    def step(self, batch, names):
+        reg_factor = jnp.float32(self.loss.factor(self.cur_epoch))
+        self.iter_count += 1
+        self.params, self.opt_state, losses = self._train_step(
+            self.params, self.opt_state, batch, self.pca, reg_factor)
+        return {k: float(v) for k, v in losses.items()}
+
+    def val_step(self, batch, names, phase, save_fig=False, debug_on=False):
+        eval_out, out = self._eval_step(self.params, batch, self.pca)
+        losses = None
+        if phase == "val" and debug_on:
+            reg_factor = self.loss.factor(self.cur_epoch)
+            losses = {k: float(v) for k, v in
+                      self.loss(out, reg_factor).items()}
+        metrics = self._compute_metrics(eval_out, batch)
+        if save_fig:
+            self._save_fig(eval_out, batch, names, phase)
+            if self.save_3d_img:
+                self._save_fig_3d(eval_out, names, phase)
+                if phase == "test":
+                    save_deformations(np.asarray(eval_out["phi"]), names,
+                                      self.test_path)
+        return losses, metrics
+
+    def _save_fig(self, eval_out, batch, names, phase):
+        base = self.test_path if phase == "test" else self.record_path
+        visual_param = {
+            "save_fig": True,
+            "save_fig_path": base,
+            "save_fig_path_byname": os.path.join(base, "byname"),
+            "save_fig_path_byiter": os.path.join(base, "byiter"),
+            "save_fig_num": 4,
+            "pair_name": names,
+            "iter": f"{phase}_iter_{self.cur_epoch:06d}",
+        }
+        visualize.show_current_images(
+            self.iter_count, iS=np.asarray(batch["source"]),
+            iT=np.asarray(batch["target"]),
+            iW=np.asarray(eval_out["warped"]),
+            iSL=np.asarray(batch["source_label"]) if "source_label" in batch else None,
+            iTL=np.asarray(batch["target_label"]) if "target_label" in batch else None,
+            iWL=np.asarray(eval_out["warped_label"]) if "warped_label" in eval_out else None,
+            phiWarped=np.asarray(eval_out["phi"]), visual_param=visual_param)
+
+    def _save_fig_3d(self, eval_out, names, phase):
+        path = os.path.join(
+            self.record_path if self.mode == "train" else self.test_path, "3D")
+        make_dir(path)
+        suffix = (f"_{phase}_iter_{self.cur_epoch}" if self.mode == "train"
+                  else f"_{phase}")
+        save_fig_3d(np.asarray(eval_out["warped"])[:, 0], path, names,
+                    suffix + "_warped", spacing=self.spacing)
+        if eval_out.get("target") is not None:
+            save_fig_3d(np.asarray(eval_out["target"])[:, 0], path, names,
+                        suffix + "_target", spacing=self.spacing)
+
+    def _set_lr(self):
+        lr = self.lr_scheduler.lr
+        try:
+            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                lr, dtype=jnp.float32)
+        except (AttributeError, TypeError):
+            pass
+        return lr
+
+    def save_model(self, prefix, is_best):
+        state = {"epoch": self.cur_epoch, "params": self.params,
+                 "opt_state": self.opt_state,
+                 "global_step": self.global_step,
+                 "lr_state": self.lr_scheduler.state_dict()}
+        save_checkpoint(state, is_best, self.check_point_path, prefix)
+
+    # ------------------------------------------------------------------
+    def run(self):
+        if self.mode == "train":
+            self._train_model()
+        else:
+            self._test_model()
+
+    def _train_model(self):
+        since = time.time()
+        best_score, best_epoch, best_metrics = -1.0, -1, {}
+        val_score = 0.0
+
+        for epoch in range(self.start_epoch, self.epochs + 1):
+            self.cur_epoch = epoch
+            lr = self._set_lr()
+            self.writer.add_scalar("lr", lr, epoch)
+
+            if epoch % self.val_frequency == 0:
+                save_fig = self.save_fig and epoch % self.save_fig_frequency == 0
+                running_m, running_l, nb = {}, {}, 0
+                for data in self.loaders["val"]:
+                    batch, names = self.set_input(data, epoch)
+                    losses, metrics = self.val_step(
+                        batch, names, "val", save_fig, debug_on=self.debug_on)
+                    save_fig = False
+                    nb += 1
+                    for k, v in metrics.items():
+                        running_m[k] = running_m.get(k, 0.0) + v
+                    if self.debug_on and losses:
+                        for k, v in losses.items():
+                            running_l[k] = running_l.get(k, 0.0) + v
+                    self.global_step["val"] += 1
+                for k, v in running_m.items():
+                    self.writer.add_scalar(f"Val_metrics/{k}", v / nb, epoch)
+                for k, v in running_l.items():
+                    self.writer.add_scalar(f"Val_loss/{k}", v / nb, epoch)
+
+                val_score = running_m.get("score", 0.0) / max(nb, 1)
+                if val_score > best_score:
+                    best_score, best_epoch = val_score, epoch
+                    self.save_model("", is_best=True)
+                    best_metrics = {k: v / nb for k, v in running_m.items()}
+
+            for data in self.loaders["train"]:
+                batch, names = self.set_input(data, epoch)
+                self.global_step["train"] += 1
+                losses = self.step(batch, names)
+                for k, v in losses.items():
+                    self.writer.add_scalar(f"Train/{k}", v,
+                                           self.global_step["train"])
+
+            if self.debug_on and self.save_fig and \
+                    epoch % self.save_fig_frequency == 0:
+                running_m, nb, save_fig = {}, 0, True
+                for data in self.loaders["debug"]:
+                    batch, names = self.set_input(data, epoch)
+                    _, metrics = self.val_step(batch, names, "debug",
+                                               save_fig, self.debug_on)
+                    save_fig = False
+                    nb += 1
+                    for k, v in metrics.items():
+                        running_m[k] = running_m.get(k, 0.0) + v
+                    self.global_step["debug"] += 1
+                for k, v in running_m.items():
+                    self.writer.add_scalar(f"Debug/{k}", v / nb, epoch)
+
+            self.lr_scheduler.step(val_score)
+
+            if epoch % self.save_model_frequency == 0:
+                prefix = f"epoch_{epoch}" if self.debug_on else "latest"
+                self.save_model(prefix, is_best=False)
+
+        elapsed = time.time() - since
+        print("Training complete in {:.0f}m {:.0f}s".format(
+            elapsed // 60, elapsed % 60))
+        print("Best val score : {:4f} is at epoch {}".format(best_score,
+                                                             best_epoch))
+        print(f"Best val metrics:{best_metrics}")
+        for k, v in best_metrics.items():
+            self.writer.add_scalar(f"Best_metrics/{k}", v, 0)
+        self.writer.close()
+
+    def _test_model(self):
+        since = time.time()
+        running, nb = {}, 0
+        for data in self.loaders["test"]:
+            batch, names = self.set_input(data, self.cur_epoch)
+            _, metrics = self.val_step(batch, names, "test", True)
+            nb += 1
+            for k, v in metrics.items():
+                running[k] = running.get(k, 0.0) + v
+        for k, v in running.items():
+            print(f"{k}: {v / max(nb, 1)}")
+        elapsed = time.time() - since
+        print("Testing complete in {:.0f}m {:.0f}s".format(
+            elapsed // 60, elapsed % 60))

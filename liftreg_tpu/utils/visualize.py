@@ -1,0 +1,92 @@
+"""Registration result figures.
+
+Compact equivalent of ``utils/visualize_registration_results.py``: per-batch
+panels of source / target / warped center slices along the three axes (plus
+labels when present), written to ``byname/`` and ``byiter/`` directories
+(``show_current_images:494-562``). 2D inputs (projections) get a row per
+view. Matplotlib 'Agg' only; no interactive viewers.
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from .io_utils import make_dir
+
+
+def _center_slices(vol):
+    """vol: (D, W, H) -> three center slices."""
+    d, w, h = vol.shape
+    return [vol[d // 2], vol[:, w // 2], vol[:, :, h // 2]]
+
+
+def show_current_images(iter_count, iS, iT, iW, iSL=None, iTL=None, iWL=None,
+                        phiWarped=None, visual_param=None, **_):
+    """Save a grid figure for up to ``save_fig_num`` batch items."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    visual_param = visual_param or {}
+    if not visual_param.get("save_fig", True):
+        return
+    n_show = min(int(visual_param.get("save_fig_num", 4)),
+                 np.asarray(iS).shape[0])
+    pair_names = visual_param.get("pair_name") or [str(i) for i in range(n_show)]
+    tag = visual_param.get("iter", f"iter_{iter_count}")
+    byname = visual_param.get("save_fig_path_byname")
+    byiter = visual_param.get("save_fig_path_byiter")
+    for p in (byname, byiter):
+        if p:
+            make_dir(p)
+
+    arrs = {"source": np.asarray(iS), "target": np.asarray(iT),
+            "warped": np.asarray(iW)}
+    labels = {}
+    if iSL is not None and iTL is not None and iWL is not None:
+        labels = {"source_label": np.asarray(iSL),
+                  "target_label": np.asarray(iTL),
+                  "warped_label": np.asarray(iWL)}
+
+    for b in range(n_show):
+        rows = []
+        row_names = []
+        for name, arr in {**arrs, **labels}.items():
+            img = arr[b, 0] if arr.ndim == 5 else arr[b]
+            if img.ndim == 3:
+                rows.append(_center_slices(img))
+            elif img.ndim == 2:
+                rows.append([img])
+            row_names.append(name)
+        ncols = max(len(r) for r in rows)
+        fig, axes = plt.subplots(len(rows), ncols,
+                                 figsize=(3 * ncols, 3 * len(rows)),
+                                 squeeze=False)
+        for ri, (row, name) in enumerate(zip(rows, row_names)):
+            for ci in range(ncols):
+                ax = axes[ri][ci]
+                ax.axis("off")
+                if ci < len(row):
+                    ax.imshow(row[ci], cmap="gray")
+                    if ci == 0:
+                        ax.set_title(name, fontsize=8)
+        fig.tight_layout()
+        fname = f"{pair_names[b]}_{tag}.png"
+        if byname:
+            fig.savefig(os.path.join(byname, fname), dpi=120)
+        if byiter:
+            fig.savefig(os.path.join(byiter, f"{tag}_{pair_names[b]}.png"),
+                        dpi=120)
+        plt.close(fig)
+
+
+def checkerboard_2d(img1, img2, tiles=8):
+    """Checkerboard composite of two equally-shaped 2D images
+    (``visualize_registration_results.checkerboard_2d:86-103``)."""
+    img1 = np.asarray(img1)
+    img2 = np.asarray(img2)
+    h, w = img1.shape
+    yy, xx = np.mgrid[0:h, 0:w]
+    mask = ((yy // max(1, h // tiles)) + (xx // max(1, w // tiles))) % 2 == 0
+    return np.where(mask, img1, img2)

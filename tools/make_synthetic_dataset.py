@@ -1,0 +1,160 @@
+"""Generate a synthetic 2D/3D registration dataset in the reference's disk
+layout, including DRRs and a PCA deformation basis.
+
+The reference trains on simulated DRR/CT pairs built offline from clinical
+CTs (``tools/preprocessing.py`` + ``tools/preprocessingDRR.py``); those raw
+datasets are not redistributable, so this tool creates a fully synthetic
+stand-in — deformed lung-like phantoms — that exercises the identical
+pipeline end to end:
+
+  <out>/preprocessed/{id}_{source,target,source_seg,target_seg,prop}.npy
+  <out>/{train,val,test,debug}/data_id.npy
+  <out>/drr/<name>/drr/{id}_{source,target}_proj.npy + poses.npy
+  <out>/landmarks/{id}_300_{iBH,eBH}_xyz_r1.txt
+  <out>/pca/pca_vectors.npy + pca_mean.npy
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax.numpy as jnp  # noqa: E402
+
+from liftreg_tpu import coords, pca as pca_lib  # noqa: E402
+from liftreg_tpu.ops import drr, resample  # noqa: E402
+
+
+def smooth_noise(rng, shape, scale, smooth=4):
+    """Smooth random field via low-res upsampling."""
+    low = tuple(max(2, s // smooth) for s in shape)
+    x = rng.normal(size=low).astype(np.float32)
+    t = jnp.asarray(x)[None, None]
+    up = resample.resize_trilinear(t, shape)
+    out = np.asarray(up)[0, 0]
+    return out * scale
+
+
+def make_phantom(rng, sz):
+    """Lung-like CT phantom in HU, SAR orientation, (D, W, H)."""
+    D = W = H = sz
+    zz, yy, xx = np.mgrid[0:D, 0:W, 0:H].astype(np.float32)
+    ct = np.full((D, W, H), -1024.0, np.float32)
+    cx = sz / 2 + rng.uniform(-2, 2, 3)
+    body = (((zz - cx[0]) / (0.42 * sz)) ** 2 + ((yy - cx[1]) / (0.36 * sz)) ** 2
+            + ((xx - cx[2]) / (0.36 * sz)) ** 2) < 1.0
+    ct[body] = 30.0
+    seg = np.zeros_like(ct)
+    for side in (-1, 1):
+        lc = cx + np.array([0, -0.05 * sz, side * 0.17 * sz])
+        lung = (((zz - lc[0]) / (0.28 * sz)) ** 2 + ((yy - lc[1]) / (0.2 * sz)) ** 2
+                + ((xx - lc[2]) / (0.13 * sz)) ** 2) < 1.0
+        ct[lung] = -850.0 + 60 * smooth_noise(rng, ct.shape, 1.0)[lung]
+        seg[lung] = 1.0
+    return ct, seg
+
+
+def random_disp(rng, sz, magnitude=0.06):
+    """Smooth random displacement field (3, D, W, H) in normalized units."""
+    return np.stack([smooth_noise(rng, (sz, sz, sz), magnitude, smooth=6)
+                     for _ in range(3)])
+
+
+def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
+             scan_range=30.0, latent=8, seed=0):
+    rng = np.random.default_rng(seed)
+    pre = os.path.join(out, "preprocessed")
+    os.makedirs(pre, exist_ok=True)
+    drr_dir = os.path.join(out, "drr", "drr", "drr")
+    os.makedirs(drr_dir, exist_ok=True)
+    lm_dir = os.path.join(out, "landmarks")
+    os.makedirs(lm_dir, exist_ok=True)
+
+    poses = drr.synthesize_poses(scan_range, n_proj, sz)
+    resolution = drr.default_resolution((sz, sz, sz))
+    idm = coords.identity_map_np((sz, sz, sz))
+    spacing = np.array([2.2, 2.2, 2.2])
+
+    splits = ([("train", n_train)] + [("val", n_val)] + [("test", n_test)])
+    disp_bank = []
+    counter = 0
+    for phase, count in splits:
+        ids = []
+        for _ in range(count):
+            cid = f"syn{counter:03d}"
+            counter += 1
+            ids.append(cid)
+            ct, seg = make_phantom(rng, sz)
+            disp = random_disp(rng, sz)
+            disp_bank.append(disp.reshape(-1))
+            phi = jnp.asarray(idm + disp)[None]
+            # target = source warped by phi (in SAR; warp is orientation-free)
+            tgt = np.asarray(resample.warp_image(
+                jnp.asarray(ct)[None, None] / 1024.0, phi,
+                zero_boundary=False, scale_intensity=False))[0, 0] * 1024.0
+            tgt_seg = (np.asarray(resample.warp_image(
+                jnp.asarray(seg)[None, None], phi, mode="nearest",
+                zero_boundary=True, scale_intensity=False))[0, 0])
+            np.save(os.path.join(pre, f"{cid}_source.npy"), ct)
+            np.save(os.path.join(pre, f"{cid}_target.npy"), tgt)
+            np.save(os.path.join(pre, f"{cid}_source_seg.npy"), seg)
+            np.save(os.path.join(pre, f"{cid}_target_seg.npy"), tgt_seg)
+            np.save(os.path.join(pre, f"{cid}_prop.npy"),
+                    {"origin": np.zeros(3), "spacing": spacing})
+
+            # DRRs (SAR -> SPR flip as in tools/preprocessingDRR.py:135-136)
+            for name, vol in (("source", ct), ("target", tgt)):
+                spr = coords.flip_sar_to_spr(vol).copy()
+                att = drr.calc_relative_atten_coef(jnp.asarray(spr))
+                proj = np.asarray(drr.project(att, poses, resolution,
+                                              tuple(spacing)))
+                np.save(os.path.join(drr_dir, f"{cid}_{name}_proj.npy"), proj)
+
+            # landmarks: random points inside the lung, 1-indexed (x, y, z)
+            vox = np.argwhere(seg > 0)
+            take = vox[rng.choice(len(vox), size=min(60, len(vox)),
+                                  replace=False)]
+            src_pts = take[:, ::-1].astype(np.float64) + 1.0  # (x=H, y=W, z=D)
+            # target landmark = source voxel moved by the *inverse* of phi is
+            # what a real dataset gives; here store matched pairs by mapping
+            # through phi directly at integer voxels (adequate for smoke TRE)
+            d_at = disp[:, take[:, 0], take[:, 1], take[:, 2]].T  # (N,3) DWH
+            tgt_pts = src_pts - (d_at[:, ::-1] * (sz - 1) / 2.0)
+            for suffix, pts in (("iBH", src_pts), ("eBH", tgt_pts)):
+                with open(os.path.join(lm_dir, f"{cid}_300_{suffix}_xyz_r1.txt"),
+                          "w") as f:
+                    for p in pts:
+                        f.write(f"{p[0]:.4f}\t{p[1]:.4f}\t{p[2]:.4f}\n")
+        phase_dir = os.path.join(out, phase)
+        os.makedirs(phase_dir, exist_ok=True)
+        np.save(os.path.join(phase_dir, "data_id.npy"), np.array(ids))
+        if phase == "train":
+            dbg = os.path.join(out, "debug")
+            os.makedirs(dbg, exist_ok=True)
+            np.save(os.path.join(dbg, "data_id.npy"), np.array(ids))
+    np.save(os.path.join(drr_dir, "poses.npy"), poses)
+
+    vectors, mean = pca_lib.fit_pca(np.stack(disp_bank), latent)
+    pca_lib.save_pca(os.path.join(out, "pca"), vectors, mean)
+    print(f"synthetic dataset written to {out} "
+          f"({n_train} train / {n_val} val / {n_test} test, {sz}^3, "
+          f"{n_proj} views, latent {latent})")
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", "-o", required=True)
+    ap.add_argument("--n_train", type=int, default=8)
+    ap.add_argument("--n_val", type=int, default=2)
+    ap.add_argument("--n_test", type=int, default=2)
+    ap.add_argument("--size", type=int, default=64)
+    ap.add_argument("--n_proj", type=int, default=4)
+    ap.add_argument("--latent", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    a = ap.parse_args()
+    generate(a.out, a.n_train, a.n_val, a.n_test, a.size, a.n_proj,
+             latent=a.latent, seed=a.seed)
