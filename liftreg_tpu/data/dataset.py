@@ -74,6 +74,10 @@ class Registration2D3DDataset:
                                   dtype=np.float32)
         self.interval = int(_opt_get(option, "load_projection_interval", 2))
         self.apply_hu_clip = bool(_opt_get(option, "apply_hu_clip", False))
+        # native-codec in-RAM compression (the reference's blosc pool,
+        # ``Registration2D3DDataset.py:93-121``); off by default since RAM
+        # is ample — enable for large corpora
+        self.compress = bool(_opt_get(option, "compress_in_memory", False))
 
         if os.path.exists(self.data_id_path):
             names = [str(n) for n in np.load(self.data_id_path)]
@@ -126,6 +130,10 @@ class Registration2D3DDataset:
         case["target_poses"] = np.load(os.path.join(
             self.drr_path, "poses.npy")).astype(np.float32)[::self.interval]
         case["spacing"] = self.spacing.copy()
+        if self.compress:
+            from .. import native
+            case = {k: ("packed",) + native.pack_array(v)
+                    for k, v in case.items()}
         return case
 
     def _load_all(self):
@@ -143,6 +151,10 @@ class Registration2D3DDataset:
     def __getitem__(self, idx):
         idx = idx % len(self.name_list)
         case = self.cases[idx]
+        if self.compress:
+            from .. import native
+            case = {k: native.unpack_array(v[1], v[2])
+                    for k, v in case.items()}
         sample = {
             "source": case["source"][None],
             "target": case["target"][None],

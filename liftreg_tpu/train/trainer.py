@@ -77,7 +77,10 @@ def load_pca(pca_path):
             "mean": jnp.asarray(mean, jnp.float32)}
 
 
-class RegistrationTrainer:
+from .base import TrainerBase
+
+
+class RegistrationTrainer(TrainerBase):
     """Construct from a ``ParameterDict`` (or plain nested dict) with the
     ``cur_task_setting.json`` schema."""
 
@@ -347,6 +350,8 @@ class RegistrationTrainer:
 
     # ------------------------------------------------------------------
     def run(self):
+        # dispatch on mode (TrainerBase.run requires mode == 'test' exactly;
+        # keep the reference's permissive else-branch)
         if self.mode == "train":
             self._train_model()
         else:

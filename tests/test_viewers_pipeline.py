@@ -1,0 +1,55 @@
+"""Viewers (headless) and fused-pipeline smoke tests."""
+import matplotlib
+matplotlib.use("Agg")
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+
+def test_viewers_headless():
+    import matplotlib.pyplot as plt
+    from liftreg_tpu.utils import viewers
+    rng = np.random.default_rng(0)
+    vol = rng.normal(size=(12, 13, 14)).astype(np.float32)
+    flow = rng.normal(size=(3, 12, 13, 14)).astype(np.float32) * 0.1
+    fig, vws = viewers.view_volume(vol, block=False)
+    vws[0].set_index(3)
+    assert vws[0].index == 3
+    vws[0].set_index(999)
+    assert vws[0].index == 11  # clipped
+    plt.close(fig)
+    fig2, vws2 = viewers.view_volume(vol, flow=flow, block=False)
+    vws2[1].set_index(5)
+    plt.close(fig2)
+    fig3, vws3 = viewers.view_volume(vol, phi=flow, block=False)
+    plt.close(fig3)
+
+
+def test_checkerboard():
+    from liftreg_tpu.utils.visualize import checkerboard_2d
+    a = np.zeros((8, 8))
+    b = np.ones((8, 8))
+    cb = checkerboard_2d(a, b, tiles=4)
+    assert cb.sum() == 32  # half the tiles
+
+
+def test_fused_pipeline_small():
+    from liftreg_tpu.pipeline import RegistrationPipeline
+    sz, latent = 32, 4
+    rng = np.random.default_rng(0)
+    pipe = RegistrationPipeline((sz, sz, sz), latent_dim=latent, n_proj=2)
+    pca = {"vectors": jnp.asarray(
+        rng.normal(size=(latent, 3 * sz ** 3)).astype(np.float32) * 0.01),
+        "mean": jnp.zeros((3 * sz ** 3,), jnp.float32)}
+    params = pipe.init_params(jax.random.PRNGKey(0), pca)
+    src = jnp.asarray(rng.uniform(-1000, 0, (1, 1, sz, sz, sz))
+                      .astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-1000, 0, (1, 1, sz, sz, sz))
+                      .astype(np.float32))
+    warped, phi = pipe.register(params, pca, src, tgt)
+    assert warped.shape == (1, 1, sz, sz, sz)
+    assert phi.shape == (1, 3, sz, sz, sz)
+    assert np.isfinite(np.asarray(warped)).all()
