@@ -14,10 +14,16 @@ from typing import Optional
 import optax
 
 
-def build_optimizer(opt_setting: dict):
-    """Returns (optax optimizer with injectable lr, base_lr, scheduler)."""
+def build_optimizer(opt_setting: dict, warming_up: bool = False):
+    """Returns (optax optimizer with injectable lr, base_lr, scheduler).
+
+    ``warming_up`` starts at lr/10 (reference ``_init_optim``,
+    ``RegistrationNet.py:272-279``).
+    """
     optim_type = opt_setting.get("optim_type", "adam")
     lr = float(opt_setting.get("lr", 1e-3))
+    if warming_up:
+        lr = lr / 10.0
     if optim_type == "adam":
         adam = opt_setting.get("adam", {})
         beta = adam.get("beta", [0.9, 0.999])

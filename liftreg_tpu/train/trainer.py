@@ -121,6 +121,12 @@ class RegistrationTrainer(TrainerBase):
             make_dir(p)
 
         self.save_model_frequency = get(train_setting, "save_model_frequency", 5)
+        # profiling (SURVEY section 5: the reference has none; we expose
+        # jax.profiler traces + per-step timing): set train.profile_dir to
+        # capture a device trace of train steps [3, 3+profile_steps)
+        self.profile_dir = get(train_setting, "profile_dir", "")
+        self.profile_steps = get(train_setting, "profile_steps", 5)
+        self._profiling = False
         self.epochs = get(train_setting, "epoch", 100)
         self.save_3d_img = get(train_setting, "save_3d_img", False)
         self.val_frequency = get(train_setting, "val_frequency", 10)
@@ -276,12 +282,28 @@ class RegistrationTrainer(TrainerBase):
         metrics["folding_count"] = folding_count
         return metrics
 
+    def _maybe_profile(self):
+        if not self.profile_dir:
+            return
+        step = self.global_step["train"]
+        if step == 3 and not self._profiling:
+            jax.profiler.start_trace(self.profile_dir)
+            self._profiling = True
+        elif self._profiling and step >= 3 + self.profile_steps:
+            jax.profiler.stop_trace()
+            self._profiling = False
+            print(f"profiler trace written to {self.profile_dir}")
+
     def step(self, batch, names):
+        self._maybe_profile()
         reg_factor = jnp.float32(self.loss.factor(self.cur_epoch))
         self.iter_count += 1
+        t0 = time.perf_counter()
         self.params, self.opt_state, losses = self._train_step(
             self.params, self.opt_state, batch, self.pca, reg_factor)
-        return {k: float(v) for k, v in losses.items()}
+        losses = {k: float(v) for k, v in losses.items()}  # syncs the step
+        losses["step_time_ms"] = (time.perf_counter() - t0) * 1000.0
+        return losses
 
     def val_step(self, batch, names, phase, save_fig=False, debug_on=False):
         eval_out, out = self._eval_step(self.params, batch, self.pca)
@@ -422,6 +444,9 @@ class RegistrationTrainer(TrainerBase):
                 prefix = f"epoch_{epoch}" if self.debug_on else "latest"
                 self.save_model(prefix, is_best=False)
 
+        if self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
         elapsed = time.time() - since
         print("Training complete in {:.0f}m {:.0f}s".format(
             elapsed // 60, elapsed % 60))
