@@ -114,21 +114,36 @@ def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
                                               tuple(spacing)))
                 np.save(os.path.join(drr_dir, f"{cid}_{name}_proj.npy"), proj)
 
-            # landmarks: random points inside the lung, 1-indexed (x, y, z)
-            vox = np.argwhere(seg > 0)
+            # Landmarks with exact correspondence: pick integer target-side
+            # voxels v_t inside the (warped) lung; the matching source
+            # position is v_s = phi(v_t) = v_t + disp(v_t) in voxel units
+            # (phi maps target coords -> source coords, like the model's).
+            # Files are 1-indexed (x, y, z) = (H, W, D) SAR coords, the
+            # DirLab convention consumed by the evaluator.
+            vox = np.argwhere(tgt_seg > 0)
+            if len(vox) == 0:
+                vox = np.argwhere(seg > 0)
             take = vox[rng.choice(len(vox), size=min(60, len(vox)),
                                   replace=False)]
-            src_pts = take[:, ::-1].astype(np.float64) + 1.0  # (x=H, y=W, z=D)
-            # target landmark = source voxel moved by the *inverse* of phi is
-            # what a real dataset gives; here store matched pairs by mapping
-            # through phi directly at integer voxels (adequate for smoke TRE)
             d_at = disp[:, take[:, 0], take[:, 1], take[:, 2]].T  # (N,3) DWH
-            tgt_pts = src_pts - (d_at[:, ::-1] * (sz - 1) / 2.0)
+            vs = take + d_at * (sz - 1) / 2.0                     # source pos
+            tgt_pts = take[:, ::-1].astype(np.float64) + 1.0      # eBH = v_t
+            src_pts = vs[:, ::-1] + 1.0                           # iBH = v_s
             for suffix, pts in (("iBH", src_pts), ("eBH", tgt_pts)):
                 with open(os.path.join(lm_dir, f"{cid}_300_{suffix}_xyz_r1.txt"),
                           "w") as f:
                     for p in pts:
                         f.write(f"{p[0]:.4f}\t{p[1]:.4f}\t{p[2]:.4f}\n")
+
+            # Ground-truth map in the model's SPR frame, stored [0,1] like
+            # saved deformations: phi_spr = mirror_y . phi_sar . mirror_y
+            phi_sar = idm + disp
+            phi_spr = phi_sar[:, :, ::-1, :].copy()
+            phi_spr[1] = -phi_spr[1]
+            gt_dir = os.path.join(out, "gt_phi")
+            os.makedirs(gt_dir, exist_ok=True)
+            np.save(os.path.join(gt_dir, f"{cid}_phi.npy"),
+                    ((phi_spr + 1.0) / 2.0).astype(np.float32))
         phase_dir = os.path.join(out, phase)
         os.makedirs(phase_dir, exist_ok=True)
         np.save(os.path.join(phase_dir, "data_id.npy"), np.array(ids))
