@@ -1,0 +1,93 @@
+"""Build a PCA deformation-subspace basis.
+
+The reference consumes a prebuilt ``pca_vectors.npy``/``pca_mean.npy``
+(Drive download, ``README.md:34-36``) and ships no construction script.
+This tool fits the basis from displacement fields, sourced either from
+
+* a directory of saved displacement/phi ``.npy`` files
+  (``--disp_dir``, accepts ``(3,D,W,H)`` displacement or [0,1] phi maps —
+  phi maps are converted to displacements against the identity), or
+* a trained dense-displacement model (e.g. RegNet2D3D) run over the
+  training split (``--from_experiment``), the workflow the LiftReg paper
+  describes for constructing the statistical deformation subspace.
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from liftreg_tpu import pca as pca_lib  # noqa: E402
+from liftreg_tpu.coords import identity_map_np  # noqa: E402
+
+
+def load_disp_fields(disp_dir):
+    files = sorted(glob.glob(os.path.join(disp_dir, "*.npy")))
+    assert files, f"no .npy files in {disp_dir}"
+    fields = []
+    idm = None
+    for f in files:
+        arr = np.load(f).astype(np.float32)
+        assert arr.ndim == 4 and arr.shape[0] == 3, (f, arr.shape)
+        if arr.min() >= 0.0 and arr.max() <= 1.0:
+            # [0,1]-stored phi -> displacement in [-1,1] convention
+            if idm is None:
+                idm = identity_map_np(arr.shape[1:])
+            arr = (arr * 2.0 - 1.0) - idm
+        fields.append(arr.reshape(-1))
+    return np.stack(fields)
+
+
+def disp_from_experiment(data_path, exp_setting, phase="train"):
+    """Run a trained model over a split and collect its displacement fields."""
+    from liftreg_tpu.train import RegistrationTrainer
+    from liftreg_tpu.utils.config import ParameterDict
+
+    setting = ParameterDict()
+    setting.load_JSON(exp_setting)
+    setting["train"]["mode"] = "test"
+    setting["train"]["test_from"] = os.path.join(
+        setting["train"]["output_path"], "checkpoints", "model_best.ckpt")
+    setting["dataset"]["data_path"] = data_path
+    trainer = RegistrationTrainer(setting)
+    fields = []
+    for data in trainer.loaders["test"]:
+        batch, names = trainer.set_input(data, 0)
+        _, out = trainer._eval_step(trainer.params, batch, trainer.pca)
+        params = out.get("params")
+        if isinstance(params, (list, tuple)):
+            params = params[0]
+        fields.extend(np.asarray(params).reshape(params.shape[0], -1))
+    return np.stack(fields)
+
+
+if __name__ == "__main__":
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--disp_dir", type=str, default="",
+                    help="directory of (3,D,W,H) displacement/phi .npy files")
+    ap.add_argument("--from_experiment", type=str, default="",
+                    help="cur_task_setting.json of a trained dense model")
+    ap.add_argument("--data_path", type=str, default="")
+    ap.add_argument("--out", "-o", required=True,
+                    help="output folder for pca_vectors.npy / pca_mean.npy")
+    ap.add_argument("--latent", "-l", type=int, default=56)
+    args = ap.parse_args()
+
+    if args.disp_dir:
+        X = load_disp_fields(args.disp_dir)
+    elif args.from_experiment:
+        X = disp_from_experiment(args.data_path, args.from_experiment)
+    else:
+        ap.error("one of --disp_dir / --from_experiment is required")
+
+    latent = min(args.latent, X.shape[0])
+    vectors, mean = pca_lib.fit_pca(X, latent)
+    pca_lib.save_pca(args.out, vectors, mean)
+    ratio = pca_lib.explained_variance_ratio(X, vectors, mean)
+    print(f"PCA basis ({latent} components over {X.shape[0]} fields) "
+          f"written to {args.out}; explained variance {ratio:.4f}")
