@@ -170,6 +170,13 @@ class RegistrationTrainer(TrainerBase):
             jax.random.PRNGKey(get(train_setting, "seed", 2021)),
             sample_batch, self.pca)
         self.opt_state = self.tx.init(self.params)
+        # pre-convert the injected lr to a committed f32 array so the first
+        # scheduler update doesn't change its dtype and retrace the step
+        try:
+            self.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+                self.base_lr, dtype=jnp.float32)
+        except (AttributeError, TypeError):
+            pass
 
         # Resume / test restore
         self.start_epoch = 0
