@@ -34,4 +34,5 @@ if __name__ == "__main__":
     trainer.run()
 
     eval_copd_highres(setting["dataset"]["data_path"],
-                      setting["train"]["output_path"])
+                      setting["train"]["output_path"],
+                      dim=tuple(setting["dataset"]["img_after_resize"]))

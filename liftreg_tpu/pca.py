@@ -19,7 +19,7 @@ from typing import Iterable, Sequence
 import numpy as np
 
 
-def fit_pca(disp_fields, n_components, chunk=8):
+def fit_pca(disp_fields, n_components, chunk=8, scale_by_stddev=False):
     """Fit PCA over displacement snapshots.
 
     Args:
@@ -27,10 +27,15 @@ def fit_pca(disp_fields, n_components, chunk=8):
         ``(3, D, W, H)`` arrays (flattened internally).
       n_components: latent dimension L <= M.
       chunk: row chunk for Gram accumulation.
+      scale_by_stddev: scale each component by its standard deviation
+        ``sqrt(lambda_i / (M-1))`` so the coefficients a network must
+        regress are ~N(0,1) instead of O(||disp||) — markedly easier
+        optimization for the subspace head.
 
     Returns:
-      (vectors ``(L, K)`` float32 — principal directions scaled like
-      sklearn's ``components_`` (unit norm), mean ``(K,)`` float32).
+      (vectors ``(L, K)`` float32 — principal directions, unit-norm rows
+      like sklearn's ``components_`` unless ``scale_by_stddev``;
+      mean ``(K,)`` float32).
     """
     if not isinstance(disp_fields, np.ndarray):
         disp_fields = np.stack([np.asarray(d).reshape(-1)
@@ -50,6 +55,8 @@ def fit_pca(disp_fields, n_components, chunk=8):
     evecs = evecs[:, order]
     # principal directions: V = Xc^T U / sqrt(lambda), unit-norm rows
     vectors = (Xc.T @ (evecs / np.sqrt(evals))).T
+    if scale_by_stddev:
+        vectors = vectors * np.sqrt(evals / max(M - 1, 1))[:, None]
     return vectors.astype(np.float32), mean.astype(np.float32)
 
 

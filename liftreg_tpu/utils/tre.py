@@ -210,7 +210,10 @@ def eval_copd_highres(dataset_path, exp_path, spacing_table=None,
             origin = np.zeros(3)
             phi_spacing = np.full(3, 2.2)
 
-        spacing = spacing_table[copd_id]
+        # DirLab landmark files are in the original scan's voxel spacing
+        # (``COPD_spacing``, ``evaluate_dir_lab.py:192``); non-DirLab
+        # datasets (e.g. synthetic) store landmarks at the volume spacing.
+        spacing = spacing_table.get(copd_id, phi_spacing)
         # phi (not phi-inverse) is stored, so source/target landmark files
         # swap roles (``evaluate_dir_lab.py:194-200``). The TRE evaluator
         # consumes the [0,1]-stored map as-is.

@@ -17,6 +17,8 @@ if __name__ == "__main__":
                         help="path to the experiment's cur_task_setting.json")
     parser.add_argument("--exp_path", default="",
                         help="experiment folder (alternative to --setting)")
+    parser.add_argument("--dim", type=int, default=160,
+                        help="volume size the maps were computed at")
     args = parser.parse_args()
     exp_path = args.exp_path or "/".join(args.setting.split("/")[:-1])
-    eval_copd_highres(args.data_path, exp_path)
+    eval_copd_highres(args.data_path, exp_path, dim=(args.dim,) * 3)

@@ -90,7 +90,6 @@ def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
             ids.append(cid)
             ct, seg = make_phantom(rng, sz)
             disp = random_disp(rng, sz)
-            disp_bank.append(disp.reshape(-1))
             phi = jnp.asarray(idm + disp)[None]
             # target = source warped by phi (in SAR; warp is orientation-free)
             tgt = np.asarray(resample.warp_image(
@@ -140,6 +139,10 @@ def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
             phi_sar = idm + disp
             phi_spr = phi_sar[:, :, ::-1, :].copy()
             phi_spr[1] = -phi_spr[1]
+            # the PCA bank must hold SPR-frame displacements — the frame the
+            # model predicts in (a SAR-frame basis would not span the
+            # mirrored fields exactly)
+            disp_bank.append((phi_spr - idm).reshape(-1))
             gt_dir = os.path.join(out, "gt_phi")
             os.makedirs(gt_dir, exist_ok=True)
             np.save(os.path.join(gt_dir, f"{cid}_phi.npy"),
@@ -153,7 +156,10 @@ def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
             np.save(os.path.join(dbg, "data_id.npy"), np.array(ids))
     np.save(os.path.join(drr_dir, "poses.npy"), poses)
 
-    vectors, mean = pca_lib.fit_pca(np.stack(disp_bank), latent)
+    # stddev-scaled components: the coefficients a network regresses are
+    # ~N(0,1), which trains far faster than unit-norm components
+    vectors, mean = pca_lib.fit_pca(np.stack(disp_bank), latent,
+                                    scale_by_stddev=True)
     pca_lib.save_pca(os.path.join(out, "pca"), vectors, mean)
     print(f"synthetic dataset written to {out} "
           f"({n_train} train / {n_val} val / {n_test} test, {sz}^3, "
