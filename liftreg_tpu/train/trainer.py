@@ -127,6 +127,13 @@ class RegistrationTrainer(TrainerBase):
         self.profile_dir = get(train_setting, "profile_dir", "")
         self.profile_steps = get(train_setting, "profile_steps", 5)
         self._profiling = False
+        # failure detection (the reference has none — recovery is a manual
+        # restart, ``main.py:100-101``): if a device step exceeds this many
+        # seconds (e.g. a dead accelerator tunnel leaves the process blocked
+        # forever), exit with code 42 so a supervisor can restart with
+        # --continue_from. 0 disables.
+        self.step_timeout_s = float(get(train_setting, "step_timeout_s", 0))
+        self._watchdog_started = False
         self.epochs = get(train_setting, "epoch", 100)
         self.save_3d_img = get(train_setting, "save_3d_img", False)
         self.val_frequency = get(train_setting, "val_frequency", 10)
@@ -301,14 +308,41 @@ class RegistrationTrainer(TrainerBase):
             self._profiling = False
             print(f"profiler trace written to {self.profile_dir}")
 
+    def _start_watchdog(self):
+        if self.step_timeout_s <= 0 or self._watchdog_started:
+            return
+        import threading
+        self._heartbeat = time.monotonic()
+        self._in_step = False
+
+        def watch():
+            while True:
+                time.sleep(max(self.step_timeout_s / 4, 1.0))
+                if self._in_step and (time.monotonic() - self._heartbeat
+                                      > self.step_timeout_s):
+                    print(f"WATCHDOG: device step exceeded "
+                          f"{self.step_timeout_s}s — likely a hung "
+                          f"accelerator; exiting 42 (resume with "
+                          f"--continue_from)", flush=True)
+                    os._exit(42)
+
+        threading.Thread(target=watch, daemon=True).start()
+        self._watchdog_started = True
+
     def step(self, batch, names):
+        self._start_watchdog()
         self._maybe_profile()
         reg_factor = jnp.float32(self.loss.factor(self.cur_epoch))
         self.iter_count += 1
         t0 = time.perf_counter()
+        if self._watchdog_started:
+            self._heartbeat = time.monotonic()
+            self._in_step = True
         self.params, self.opt_state, losses = self._train_step(
             self.params, self.opt_state, batch, self.pca, reg_factor)
         losses = {k: float(v) for k, v in losses.items()}  # syncs the step
+        if self._watchdog_started:
+            self._in_step = False
         losses["step_time_ms"] = (time.perf_counter() - t0) * 1000.0
         return losses
 
