@@ -56,6 +56,63 @@ def _proj_kernel(rx_ref, vol_ref, rz_ref, dx_ref, out_ref, *, plane_chunk):
         out_ref[:] = out_ref[:] * dx_ref[:] * 0.1   # mm -> cm
 
 
+def _backproj_kernel(bu_ref, proj_ref, bv_ref, out_ref, *, plane_chunk):
+    """One (batch, pose, plane-chunk) program of the backprojection lift.
+
+    bu_ref:  (KC, D, proj_w); proj_ref: (proj_w, proj_h);
+    bv_ref:  (KC, H, proj_h); out_ref: (D, KC, H).
+    """
+    def plane(k, _):
+        t = jnp.dot(bu_ref[k], proj_ref[:],
+                    preferred_element_type=jnp.float32)      # (D, proj_h)
+        out_ref[:, k, :] = jnp.dot(t, bv_ref[k].T,
+                                   preferred_element_type=jnp.float32)
+        return 0
+
+    jax.lax.fori_loop(0, plane_chunk, plane, 0)
+
+
+def backproject_with_mats_pallas(proj, Bu, Bv, plane_chunk=16,
+                                 interpret=False):
+    """Pallas backprojector; same contract as ``drr.backproject_with_mats``.
+
+    proj: (B, P, proj_w, proj_h); Bu: (P, W, D, proj_w);
+    Bv: (P, W, H, proj_h) -> (B, P, D, W, H).
+    """
+    B, P, proj_w, proj_h = proj.shape
+    D, H = Bu.shape[2], Bv.shape[2]
+    W = Bu.shape[1]
+    nchunk = -(-W // plane_chunk)
+    pad = nchunk * plane_chunk - W
+    if pad:
+        Bu = jnp.pad(Bu, ((0, 0), (0, pad), (0, 0), (0, 0)))
+        Bv = jnp.pad(Bv, ((0, 0), (0, pad), (0, 0), (0, 0)))
+    Wp = W + pad
+
+    kernel = functools.partial(_backproj_kernel, plane_chunk=plane_chunk)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, P, nchunk),
+        in_specs=[
+            pl.BlockSpec((None, plane_chunk, D, proj_w),
+                         lambda b, p, k: (p, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, None, proj_w, proj_h),
+                         lambda b, p, k: (b, p, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((None, plane_chunk, H, proj_h),
+                         lambda b, p, k: (p, k, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((None, None, D, plane_chunk, H),
+                               lambda b, p, k: (b, p, 0, k, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, P, D, Wp, H), jnp.float32),
+        interpret=interpret,
+    )(Bu, proj, Bv)
+    return out[:, :, :, :W, :]
+
+
 def project_with_mats_pallas(vol, Rx, Rz, dx, plane_chunk=16,
                              interpret=False):
     """Pallas projector; same contract as ``drr.project_with_mats``.

@@ -31,3 +31,17 @@ def test_pallas_projector_uneven_chunk():
     got = np.asarray(project_with_mats_pallas(vol, Rx, Rz, dx, plane_chunk=4,
                                               interpret=True))
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_pallas_backprojector_matches_xla():
+    rng = np.random.default_rng(2)
+    D, W, H = 16, 18, 20
+    proj = jnp.asarray(rng.uniform(-1, 1, (2, 3, 24, 26)).astype(np.float32))
+    poses = drr.synthesize_poses(30.0, 3, W)
+    Bu, Bv = drr.backward_matrices(poses, (D, W, H), (24, 26))
+    want = np.asarray(drr.backproject_with_mats(proj, Bu, Bv, plane_chunk=5))
+    from liftreg_tpu.ops.pallas_drr import backproject_with_mats_pallas
+    got = np.asarray(backproject_with_mats_pallas(proj, Bu, Bv,
+                                                  plane_chunk=5,
+                                                  interpret=True))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
