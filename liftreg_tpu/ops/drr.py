@@ -51,6 +51,13 @@ def calc_relative_atten_coef(img):
     return (img + 1000.0) / 1000.0 * 0.2
 
 
+def calc_relative_atten_coef_preprocessing(img):
+    """The preprocessing tool's unit-less variant: ``(clip(img,-1024)+1024)/1024``
+    (``tools/preprocessing.py:119-122``)."""
+    img = jnp.maximum(img, -1024.0)
+    return (img + 1024.0) / 1024.0
+
+
 # ---------------------------------------------------------------------------
 # Pose synthesis
 # ---------------------------------------------------------------------------

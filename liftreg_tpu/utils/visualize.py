@@ -59,6 +59,17 @@ def show_current_images(iter_count, iS, iT, iW, iSL=None, iTL=None, iWL=None,
             elif img.ndim == 2:
                 rows.append([img])
             row_names.append(name)
+        # map iso-contours on the warped panels
+        # (``visualize_registration_results.py`` overlays phi contours)
+        phi_slices = None
+        if phiWarped is not None:
+            phi = np.asarray(phiWarped)[b]          # (3, D, W, H)
+            d, w, h = phi.shape[1:]
+            phi_slices = [  # the two in-plane components per center slice
+                [phi[1][d // 2], phi[2][d // 2]],
+                [phi[0][:, w // 2], phi[2][:, w // 2]],
+                [phi[0][:, :, h // 2], phi[1][:, :, h // 2]],
+            ]
         ncols = max(len(r) for r in rows)
         fig, axes = plt.subplots(len(rows), ncols,
                                  figsize=(3 * ncols, 3 * len(rows)),
@@ -69,6 +80,11 @@ def show_current_images(iter_count, iS, iT, iW, iSL=None, iTL=None, iWL=None,
                 ax.axis("off")
                 if ci < len(row):
                     ax.imshow(row[ci], cmap="gray")
+                    if name == "warped" and phi_slices is not None \
+                            and ci < len(phi_slices):
+                        for comp in phi_slices[ci]:
+                            ax.contour(comp, levels=16, colors="g",
+                                       linewidths=0.3)
                     if ci == 0:
                         ax.set_title(name, fontsize=8)
         fig.tight_layout()
