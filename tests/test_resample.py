@@ -101,3 +101,35 @@ def test_resize_trilinear_matches_torch():
                          mode="trilinear", align_corners=True).numpy()
     got = np.asarray(resample.resize_trilinear(jnp.asarray(vol), (10, 12, 14)))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_warp_gradients_match_finite_differences():
+    """The pairs-buffer fast path must have a correct VJP (training relies
+    on gradients through the warp wrt both image and map)."""
+    import jax
+    rng = np.random.default_rng(7)
+    D = 7
+    image = jnp.asarray(rng.uniform(-1, 1, (1, 1, D, D, D)).astype(np.float32))
+    phi0 = jnp.asarray((coords.identity_map_np((D, D, D))[None]
+                        + rng.uniform(-0.2, 0.2, (1, 3, D, D, D))
+                        ).astype(np.float32))
+
+    def loss_img(img):
+        return jnp.sum(resample.warp_image(img, phi0) ** 2)
+
+    def loss_phi(phi):
+        return jnp.sum(resample.warp_image(image, phi) ** 2)
+
+    for fn, arg in ((loss_img, image), (loss_phi, phi0)):
+        g = jax.grad(fn)(arg)
+        # check 3 random entries against central differences
+        flat = np.asarray(arg).reshape(-1)
+        gflat = np.asarray(g).reshape(-1)
+        idxs = rng.choice(flat.size, 3, replace=False)
+        for i in idxs:
+            eps = 1e-3
+            ap = flat.copy(); ap[i] += eps
+            am = flat.copy(); am[i] -= eps
+            fd = (float(fn(jnp.asarray(ap.reshape(arg.shape))))
+                  - float(fn(jnp.asarray(am.reshape(arg.shape))))) / (2 * eps)
+            assert gflat[i] == pytest.approx(fd, rel=5e-2, abs=2e-2)
