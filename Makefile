@@ -1,0 +1,21 @@
+# Developer conveniences.
+
+.PHONY: test bench native dryrun clean
+
+test:
+	python -m pytest tests/ -x -q
+
+bench:
+	python bench.py
+
+native:
+	g++ -O3 -shared -fPIC liftreg_tpu/native/codec.cpp \
+	    -o liftreg_tpu/native/libliftregcodec.so -lz
+
+dryrun:
+	JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+	    python -c "import __graft_entry__ as g; g.dryrun_multichip(8)"
+
+clean:
+	find . -name __pycache__ -type d -exec rm -rf {} + 2>/dev/null || true
+	rm -f liftreg_tpu/native/libliftregcodec.so
