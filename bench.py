@@ -8,12 +8,35 @@ reference publishes no benchmark numbers, so vs_baseline is 1.0.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 """
 import json
+import os
+import signal
+import sys
 import time
 
 import numpy as np
 
+_METRIC = "fused_drr_backproj_register_throughput"
+_UNIT = "registrations/sec/chip"
+
+
+def _watchdog(stage, seconds):
+    """Arm SIGALRM: if `stage` takes longer than `seconds` (e.g. jax init
+    hanging on a dead device tunnel), print a JSON error line and exit 1
+    fast instead of burning the driver's whole timeout (round-1 failure
+    mode: rc=124, parsed=null)."""
+    def _fire(signum, frame):
+        print(json.dumps({"metric": _METRIC, "value": 0.0, "unit": _UNIT,
+                          "vs_baseline": 0.0,
+                          "error": f"watchdog: {stage} exceeded {seconds}s"}))
+        sys.stdout.flush()
+        os._exit(1)
+
+    signal.signal(signal.SIGALRM, _fire)
+    signal.alarm(seconds)
+
 
 def main():
+    _watchdog("jax init + first compile/readback", 420)
     import jax
     import jax.numpy as jnp
 
@@ -43,6 +66,7 @@ def main():
     # scalar readback to time completed work
     float(jnp.sum(warped))
 
+    _watchdog("timed loop", 150)
     n_iter = 10
     t0 = time.perf_counter()
     for _ in range(n_iter):
@@ -50,11 +74,12 @@ def main():
                                     seg, seg)
         float(jnp.sum(warped))
     dt = (time.perf_counter() - t0) / n_iter
+    signal.alarm(0)
 
     print(json.dumps({
-        "metric": "fused_drr_backproj_register_throughput",
+        "metric": _METRIC,
         "value": round(B / dt, 3),
-        "unit": "registrations/sec/chip",
+        "unit": _UNIT,
         "vs_baseline": 1.0,
     }))
 

@@ -19,6 +19,12 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, axis_name: str = "data"):
     devices = jax.devices()
     if n_devices is not None:
+        if len(devices) < n_devices:
+            raise RuntimeError(
+                f"requested a {n_devices}-device mesh but only "
+                f"{len(devices)} device(s) are visible on platform "
+                f"{devices[0].platform!r} — refusing to silently build a "
+                f"smaller mesh")
         devices = devices[:n_devices]
     return Mesh(np.asarray(devices), (axis_name,))
 

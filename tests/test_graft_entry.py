@@ -1,0 +1,41 @@
+"""Driver-contract tests for __graft_entry__.
+
+Round-1 failure mode: the driver imports the module and calls
+``dryrun_multichip(n)`` with an ambient single-device (or dead) jax
+platform preset; the function must self-force an n-device CPU platform in
+a subprocess rather than trusting the environment (VERDICT round 1,
+items 1-2).
+"""
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def test_dryrun_multichip_self_forces_cpu_mesh():
+    """Import fresh with JAX_PLATFORMS preset to a non-CPU platform and no
+    device-count forcing; dryrun_multichip(8) must still pass."""
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"  # hostile would be 'axon'; cpu-1dev is the
+    env.pop("XLA_FLAGS", None)    # equivalent trap: only 1 device visible
+    env.pop("_LIFTREG_DRYRUN_CHILD", None)
+    code = (
+        "import jax\n"
+        "assert len(jax.devices()) == 1, jax.devices()\n"  # the trap is set
+        "import __graft_entry__ as g\n"
+        "g.dryrun_multichip(8)\n"
+    )
+    proc = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                          capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "dryrun_multichip(8) ok" in proc.stdout
+
+
+def test_make_mesh_refuses_undersized_mesh():
+    import pytest
+
+    from liftreg_tpu.parallel import mesh as mesh_lib
+
+    with pytest.raises(RuntimeError, match="refusing"):
+        mesh_lib.make_mesh(1024)
