@@ -50,3 +50,30 @@ def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data"):
         else:
             out[k] = jax.device_put(v, replicated(mesh))
     return out
+
+
+def pad_batch(batch: dict, target_b: int):
+    """Pad every array's batch axis (axis 0) up to ``target_b`` by repeating
+    the final sample, so (a) the batch divides the mesh instead of being
+    silently replicated and (b) the shape is identical for every batch —
+    no shape-change retrace of the jitted step on partial final batches.
+
+    Returns ``(padded_batch, n_valid)``; callers must ignore rows
+    ``[n_valid:]`` in any per-sample output. All batch-dict entries are
+    per-sample stacks (data/dataset.py ``_stack_batch``), so every array
+    shares the same leading dim.
+    """
+    b = next(v.shape[0] for v in batch.values()
+             if hasattr(v, "ndim") and v.ndim > 0)
+    if target_b < b:
+        raise ValueError(f"pad target {target_b} < batch size {b}")
+    if target_b == b:
+        return batch, b
+    out = {}
+    for k, v in batch.items():
+        if hasattr(v, "ndim") and v.ndim > 0:
+            pad = np.repeat(np.asarray(v)[-1:], target_b - b, axis=0)
+            out[k] = np.concatenate([np.asarray(v), pad], axis=0)
+        else:
+            out[k] = v
+    return out, b

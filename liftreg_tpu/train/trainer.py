@@ -103,8 +103,15 @@ class RegistrationTrainer(TrainerBase):
                                         option=dataset_setting)
                          for p in phases}
         shuffle_idx = {"train": 0, "val": 1, "test": 3, "debug": 2}
-        self.loaders = {p: DataLoader(self.datasets[p], batch_size=batch_size,
-                                      shuffle=bool(shuffle[shuffle_idx[p]]))
+        # train drops the partial final batch (classic data-parallel: keeps
+        # the gradient unweighted and every step the same shape); eval phases
+        # keep it and set_input pads it to the static batch shape instead
+        self.batch_size = batch_size
+        self.loaders = {p: DataLoader(
+            self.datasets[p], batch_size=batch_size,
+            shuffle=bool(shuffle[shuffle_idx[p]]),
+            drop_last=(p == "train"
+                       and len(self.datasets[p]) >= batch_size))
                         for p in phases}
 
         self.img_sz = tuple(get(dataset_setting, "img_after_resize",
@@ -134,6 +141,7 @@ class RegistrationTrainer(TrainerBase):
         # --continue_from. 0 disables.
         self.step_timeout_s = float(get(train_setting, "step_timeout_s", 0))
         self._watchdog_started = False
+        self._warned_pad = False
         self.epochs = get(train_setting, "epoch", 100)
         self.save_3d_img = get(train_setting, "save_3d_img", False)
         self.val_frequency = get(train_setting, "val_frequency", 10)
@@ -211,6 +219,15 @@ class RegistrationTrainer(TrainerBase):
                 self.start_epoch, self.global_step, state = restored
                 self.params = jax.device_put(state["params"])
 
+        # commit params/opt_state/pca replicated over the mesh up front:
+        # otherwise step 1 sees single-device init params, emits outputs
+        # with mesh shardings, and step 2 retraces on the sharding change
+        rep = mesh_lib.replicated(self.mesh)
+        self.params = jax.device_put(self.params, rep)
+        self.opt_state = jax.device_put(self.opt_state, rep)
+        if self.pca is not None:
+            self.pca = jax.device_put(self.pca, rep)
+
         self.cur_epoch = self.start_epoch
         self.iter_count = 0
         self.writer = MetricsLogger(self.log_path) if self.mode == "train" \
@@ -272,6 +289,16 @@ class RegistrationTrainer(TrainerBase):
     # ------------------------------------------------------------------
     def set_input(self, batch_names, epoch):
         batch, names = batch_names
+        # pad to a static, mesh-divisible shape (never silently replicate a
+        # partial batch across the mesh; never retrace on the final batch)
+        n = self.mesh.devices.size
+        target_b = -(-self.batch_size // n) * n
+        if target_b != self.batch_size and not self._warned_pad:
+            print(f"note: batch_size {self.batch_size} is not divisible by "
+                  f"the {n}-device mesh; padding every batch to {target_b}")
+            self._warned_pad = True
+        batch, n_valid = mesh_lib.pad_batch(batch, target_b)
+        assert n_valid == len(names)
         batch = mesh_lib.shard_batch(batch, self.mesh)
         return batch, names
 
@@ -348,6 +375,14 @@ class RegistrationTrainer(TrainerBase):
 
     def val_step(self, batch, names, phase, save_fig=False, debug_on=False):
         eval_out, out = self._eval_step(self.params, batch, self.pca)
+        # drop pad rows (set_input) so metrics/figures/saved phis only cover
+        # real samples
+        nv = len(names)
+        eval_out = {k: v[:nv] for k, v in eval_out.items()}
+        out = {k: (v[:nv] if hasattr(v, "ndim") and v.ndim > 0
+                   and v.shape[0] > nv else v) for k, v in out.items()}
+        batch = {k: (v[:nv] if hasattr(v, "ndim") and v.ndim > 0
+                     and v.shape[0] > nv else v) for k, v in batch.items()}
         losses = None
         if phase == "val" and debug_on:
             reg_factor = self.loss.factor(self.cur_epoch)
