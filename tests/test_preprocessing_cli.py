@@ -48,6 +48,59 @@ def test_process_case_pipeline(tmp_path):
     assert origin.shape == (3,)
 
 
+def make_hard_phantom(shape=(64, 96, 96), seed=3):
+    """Nastier CT phantom in HU: heavy noise, a bright couch slab under the
+    body, and non-lung dark pockets (bowel gas) inside the body — the
+    structures that break naive threshold-based lung segmentation on real
+    scans (risk flagged in SURVEY section 7). Returns (hu_volume, gt_lung)."""
+    rng = np.random.default_rng(seed)
+    d, w, h = shape
+    zz, yy, xx = np.mgrid[0:d, 0:w, 0:h].astype(np.float32)
+    hu = np.full(shape, -1000.0, np.float32)
+    hu += rng.normal(scale=20, size=shape).astype(np.float32)  # air noise
+
+    body = (((zz - d / 2) / (d * 0.45)) ** 2
+            + ((yy - w / 2) / (w * 0.34)) ** 2
+            + ((xx - h / 2) / (h * 0.36)) ** 2) < 1
+    hu[body] = 40.0 + rng.normal(scale=30, size=int(body.sum()))
+
+    gt_lung = np.zeros(shape, bool)
+    for side in (-1, 1):
+        lung = (((zz - d / 2) / (d * 0.32)) ** 2
+                + ((yy - w * 0.45) / (w * 0.2)) ** 2
+                + ((xx - h / 2 - side * h * 0.16) / (h * 0.12)) ** 2) < 1
+        gt_lung |= lung & body
+    hu[gt_lung] = -840.0 + rng.normal(scale=50, size=int(gt_lung.sum()))
+
+    # couch: bright slab under the body, spanning the axial direction
+    couch = (yy > w * 0.88) & (yy < w * 0.94) & (xx > h * 0.15) & (xx < h * 0.85)
+    hu[couch] = 300.0 + rng.normal(scale=20, size=int(couch.sum()))
+
+    # bowel gas: small dark pockets low in the body, outside the lungs
+    for cx in (0.35, 0.6):
+        gas = (((zz - d * 0.5) / (d * 0.08)) ** 2
+               + ((yy - w * 0.72) / (w * 0.05)) ** 2
+               + ((xx - h * cx) / (h * 0.05)) ** 2) < 1
+        hu[gas & body & ~gt_lung] = -900.0
+    return hu, gt_lung
+
+
+def test_seg_lung_mask_hard_phantom():
+    """Lung Dice > 0.9 on the hard phantom (VERDICT r1 item 8)."""
+    from liftreg_tpu.data.preprocessing import seg_bg_mask, seg_lung_mask
+
+    hu, gt_lung = make_hard_phantom()
+    mask, bbox = seg_lung_mask(hu)
+    inter = np.logical_and(mask > 0, gt_lung).sum()
+    dice = 2.0 * inter / (np.count_nonzero(mask) + gt_lung.sum())
+    assert dice > 0.9, f"lung Dice {dice:.3f} on hard phantom"
+
+    # body mask must cover nearly all true-lung voxels (they sit inside it)
+    body_mask, _ = seg_bg_mask(hu)
+    recall = np.logical_and(body_mask > 0, gt_lung).sum() / gt_lung.sum()
+    assert recall > 0.95, f"body-mask lung recall {recall:.3f}"
+
+
 def test_preprocessing_cli_main(tmp_path, monkeypatch, capsys):
     import subprocess
     make_raw_case(tmp_path / "raw")
