@@ -44,7 +44,10 @@ def load_disp_fields(disp_dir):
 
 
 def disp_from_experiment(data_path, exp_setting, phase="train"):
-    """Run a trained model over a split and collect its displacement fields."""
+    """Run a trained model over a split (default: the *train* split — the
+    paper fits the deformation subspace over training-pair displacement
+    fields) and collect its predicted displacement fields."""
+    from liftreg_tpu.data.dataset import DataLoader, get_dataset
     from liftreg_tpu.train import RegistrationTrainer
     from liftreg_tpu.utils.config import ParameterDict
 
@@ -55,14 +58,23 @@ def disp_from_experiment(data_path, exp_setting, phase="train"):
         setting["train"]["output_path"], "checkpoints", "model_best.ckpt")
     setting["dataset"]["data_path"] = data_path
     trainer = RegistrationTrainer(setting)
+    # the test-mode trainer only builds a 'test' loader; build one for the
+    # requested split with the same dataset options
+    ds_setting = setting["dataset"]
+    ds_opt = ds_setting.as_dict() if hasattr(ds_setting, "as_dict") \
+        else dict(ds_setting)
+    ds = get_dataset(ds_opt["dataset_class"])(data_path, phase=phase,
+                                              option=ds_opt)
+    loader = DataLoader(ds, batch_size=trainer.batch_size)
     fields = []
-    for data in trainer.loaders["test"]:
+    for data in loader:
         batch, names = trainer.set_input(data, 0)
         _, out = trainer._eval_step(trainer.params, batch, trainer.pca)
         params = out.get("params")
         if isinstance(params, (list, tuple)):
             params = params[0]
-        fields.extend(np.asarray(params).reshape(params.shape[0], -1))
+        fields.extend(np.asarray(params).reshape(params.shape[0], -1)
+                      [:len(names)])
     return np.stack(fields)
 
 
