@@ -113,12 +113,20 @@ def backproject_with_mats_pallas(proj, Bu, Bv, plane_chunk=16,
     return out[:, :, :, :W, :]
 
 
-def project_with_mats_pallas(vol, Rx, Rz, dx, plane_chunk=16,
+def project_with_mats_pallas(vol, Rx, Rz, dx, plane_chunk=8,
                              interpret=False):
     """Pallas projector; same contract as ``drr.project_with_mats``.
 
     vol: (B, D, W, H); Rx: (P, W, res_d, D); Rz: (P, W, res_h, H);
     dx: (P, res_d, res_h) -> (B, P, res_d, res_h).
+
+    ``plane_chunk=8`` is the largest that fits the 16 MB VMEM budget at the
+    production 160^3/240^2 shape (chunk 16 overflows scoped vmem by ~5 MB
+    on a real v5e; chunk < 8 violates the (8, 128) sublane tiling).
+    On-chip status (2026-08, v5e): numerically validated (1.3e-3 vs the
+    f32-HIGHEST XLA path — expected bf16 MXU input truncation), but NOT
+    faster than the XLA scan formulation in ``ops/drr.py``, which stays the
+    default everywhere; see DESIGN.md section 1.
     """
     B, D, W, H = vol.shape
     P = Rx.shape[0]

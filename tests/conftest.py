@@ -7,7 +7,10 @@ suite silently runs against the real TPU.
 """
 import os
 
-os.environ["JAX_PLATFORMS"] = "cpu"
+# opt-out for the on-chip test files (tests/test_pallas_onchip.py):
+# LIFTREG_ONCHIP_TESTS=1 keeps the ambient (TPU) platform
+if os.environ.get("LIFTREG_ONCHIP_TESTS") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -17,4 +20,5 @@ if "host_platform_device_count" not in flags:
 # was captured too early — update the live config as well.
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("LIFTREG_ONCHIP_TESTS") != "1":
+    jax.config.update("jax_platforms", "cpu")
