@@ -22,8 +22,16 @@ def _center_slices(vol):
 
 
 def show_current_images(iter_count, iS, iT, iW, iSL=None, iTL=None, iWL=None,
-                        phiWarped=None, visual_param=None, **_):
-    """Save a grid figure for up to ``save_fig_num`` batch items."""
+                        phiWarped=None, visual_param=None, vizImages=None,
+                        vizName=None, extraImages=None, extraName=None, **_):
+    """Save a grid figure for up to ``save_fig_num`` batch items.
+
+    Rows: source / target / warped / checkerboard(warped, target)
+    (``visualize_registration_results.py:141-143,223-225``), optional
+    ``vizImages``/``extraImages`` rows (``:283-491`` extra-image panels,
+    one row of axis slices per image), then label rows. The warped row
+    overlays phi iso-contours when ``phiWarped`` is given.
+    """
     import matplotlib
     matplotlib.use("Agg")
     import matplotlib.pyplot as plt
@@ -48,17 +56,29 @@ def show_current_images(iter_count, iS, iT, iW, iSL=None, iTL=None, iWL=None,
         labels = {"source_label": np.asarray(iSL),
                   "target_label": np.asarray(iTL),
                   "warped_label": np.asarray(iWL)}
+    extras = {}
+    if vizImages is not None:
+        extras[vizName or "viz"] = np.asarray(vizImages)
+    if extraImages is not None:
+        extras[extraName or "extra"] = np.asarray(extraImages)
 
     for b in range(n_show):
         rows = []
         row_names = []
-        for name, arr in {**arrs, **labels}.items():
+        for name, arr in {**arrs, **extras, **labels}.items():
             img = arr[b, 0] if arr.ndim == 5 else arr[b]
             if img.ndim == 3:
                 rows.append(_center_slices(img))
             elif img.ndim == 2:
                 rows.append([img])
             row_names.append(name)
+        # checkerboard(warped, target) composite row (ref :141-143,223-225)
+        w_row = rows[row_names.index("warped")]
+        t_row = rows[row_names.index("target")]
+        cb_at = row_names.index("warped") + 1
+        rows.insert(cb_at, [checkerboard_2d(w, t)
+                            for w, t in zip(w_row, t_row)])
+        row_names.insert(cb_at, "checkerboard")
         # map iso-contours on the warped panels
         # (``visualize_registration_results.py`` overlays phi contours)
         phi_slices = None
@@ -99,10 +119,12 @@ def show_current_images(iter_count, iS, iT, iW, iSL=None, iTL=None, iWL=None,
 
 def checkerboard_2d(img1, img2, tiles=8):
     """Checkerboard composite of two equally-shaped 2D images
-    (``visualize_registration_results.checkerboard_2d:86-103``)."""
+    (``visualize_registration_results.checkerboard_2d:86-103``): square
+    tiles of side ``min(shape)//tiles``; img1 on the even tiles."""
     img1 = np.asarray(img1)
     img2 = np.asarray(img2)
     h, w = img1.shape
+    ts = max(1, min(h, w) // tiles)
     yy, xx = np.mgrid[0:h, 0:w]
-    mask = ((yy // max(1, h // tiles)) + (xx // max(1, w // tiles))) % 2 == 0
+    mask = ((yy // ts) + (xx // ts)) % 2 == 0
     return np.where(mask, img1, img2)

@@ -36,6 +36,28 @@ def test_checkerboard():
     assert cb.sum() == 32  # half the tiles
 
 
+def test_show_current_images_full_panel(tmp_path):
+    """Figure writer with checkerboard + extra/viz rows + labels + phi."""
+    from liftreg_tpu.utils.visualize import show_current_images
+    rng = np.random.default_rng(0)
+    B, sz = 2, 12
+    vol = lambda: rng.normal(size=(B, 1, sz, sz, sz)).astype(np.float32)
+    phi = rng.normal(size=(B, 3, sz, sz, sz)).astype(np.float32) * 0.1
+    extra = rng.normal(size=(B, 1, sz, sz, sz)).astype(np.float32)
+    byname, byiter = str(tmp_path / "byname"), str(tmp_path / "byiter")
+    show_current_images(
+        3, iS=vol(), iT=vol(), iW=vol(), iSL=vol(), iTL=vol(), iWL=vol(),
+        phiWarped=phi, vizImages=extra, vizName="flow",
+        extraImages=extra, extraName="atten",
+        visual_param={"save_fig": True, "save_fig_num": 2,
+                      "pair_name": ["a", "b"], "iter": "val_iter_000003",
+                      "save_fig_path_byname": byname,
+                      "save_fig_path_byiter": byiter})
+    import os
+    assert os.path.exists(os.path.join(byname, "a_val_iter_000003.png"))
+    assert os.path.exists(os.path.join(byiter, "val_iter_000003_b.png"))
+
+
 def test_fused_pipeline_small():
     from liftreg_tpu.pipeline import RegistrationPipeline
     sz, latent = 32, 4
