@@ -42,12 +42,22 @@ from ..ops.resample import warp_image
 
 
 class MetricsLogger:
-    """JSONL metrics log + optional TensorBoard (via torch, if available)."""
+    """JSONL metrics log + optional TensorBoard mirror.
+
+    JSONL is the primary record (dependency-free, machine-readable). The
+    TensorBoard writer reproduces the reference's ``SummaryWriter`` scalars
+    (``RegistrationNet.py:147,514-515``) and is the ONLY permitted torch
+    import in the training path — it runs host-side off the step's critical
+    path and is skipped entirely when torch/tensorboard is unavailable or
+    ``LIFTREG_NO_TB=1`` is set. Nothing device-facing may import torch.
+    """
 
     def __init__(self, log_path):
         make_dir(log_path)
         self.jsonl = open(os.path.join(log_path, "metrics.jsonl"), "a")
         self.tb = None
+        if os.environ.get("LIFTREG_NO_TB") == "1":
+            return
         try:
             from torch.utils.tensorboard import SummaryWriter
             self.tb = SummaryWriter(log_path, flush_secs=30)
@@ -142,6 +152,9 @@ class RegistrationTrainer(TrainerBase):
         self.step_timeout_s = float(get(train_setting, "step_timeout_s", 0))
         self._watchdog_started = False
         self._warned_pad = False
+        self._pending_losses = []
+        self._loss_flush_steps = int(get(train_setting, "log_flush_steps", 8))
+        self._last_flush_t = time.perf_counter()
         self.epochs = get(train_setting, "epoch", 100)
         self.save_3d_img = get(train_setting, "save_3d_img", False)
         self.val_frequency = get(train_setting, "val_frequency", 10)
@@ -287,6 +300,20 @@ class RegistrationTrainer(TrainerBase):
         return jax.jit(step)
 
     # ------------------------------------------------------------------
+    def _iter_device(self, phase, epoch):
+        """Iterate ``(device_batch, names)`` with one batch of device-put
+        lookahead: ``jax.device_put`` is async, so staging batch i+1 (tens
+        of MB of volumes through the tunnel) overlaps with step i's compute
+        instead of serializing with it."""
+        prev = None
+        for data in self.loaders[phase]:
+            cur = self.set_input(data, epoch)
+            if prev is not None:
+                yield prev
+            prev = cur
+        if prev is not None:
+            yield prev
+
     def set_input(self, batch_names, epoch):
         batch, names = batch_names
         # pad to a static, mesh-divisible shape (never silently replicate a
@@ -357,21 +384,41 @@ class RegistrationTrainer(TrainerBase):
         self._watchdog_started = True
 
     def step(self, batch, names):
+        """One async train step. Loss scalars are NOT read back here: a
+        per-step device->host readback costs the tunnel's ~32 ms round-trip
+        floor (DESIGN.md section 7) and would serialize host dispatch with
+        device compute. Device-side losses are buffered and flushed to the
+        logger every ``_loss_flush_steps`` steps / at epoch end."""
         self._start_watchdog()
         self._maybe_profile()
         reg_factor = jnp.float32(self.loss.factor(self.cur_epoch))
         self.iter_count += 1
-        t0 = time.perf_counter()
+        self.params, self.opt_state, losses = self._train_step(
+            self.params, self.opt_state, batch, self.pca, reg_factor)
+        self._pending_losses.append((self.global_step["train"], losses))
+        if len(self._pending_losses) >= self._loss_flush_steps:
+            self._flush_losses()
+        return losses
+
+    def _flush_losses(self):
+        """Read back and log buffered step losses (one host sync for all)."""
+        if not self._pending_losses:
+            return
         if self._watchdog_started:
             self._heartbeat = time.monotonic()
             self._in_step = True
-        self.params, self.opt_state, losses = self._train_step(
-            self.params, self.opt_state, batch, self.pca, reg_factor)
-        losses = {k: float(v) for k, v in losses.items()}  # syncs the step
+        host = jax.device_get([l for _, l in self._pending_losses])
         if self._watchdog_started:
             self._in_step = False
-        losses["step_time_ms"] = (time.perf_counter() - t0) * 1000.0
-        return losses
+        now = time.perf_counter()
+        per_step_ms = ((now - self._last_flush_t) * 1000.0
+                       / len(self._pending_losses))
+        self._last_flush_t = now
+        for (gstep, _), losses in zip(self._pending_losses, host):
+            for k, v in losses.items():
+                self.writer.add_scalar(f"Train/{k}", float(v), gstep)
+            self.writer.add_scalar("Train/step_time_ms", per_step_ms, gstep)
+        self._pending_losses.clear()
 
     def val_step(self, batch, names, phase, save_fig=False, debug_on=False):
         eval_out, out = self._eval_step(self.params, batch, self.pca)
@@ -491,13 +538,10 @@ class RegistrationTrainer(TrainerBase):
                     self.save_model("", is_best=True)
                     best_metrics = {k: v / nb for k, v in running_m.items()}
 
-            for data in self.loaders["train"]:
-                batch, names = self.set_input(data, epoch)
+            for batch, names in self._iter_device("train", epoch):
                 self.global_step["train"] += 1
-                losses = self.step(batch, names)
-                for k, v in losses.items():
-                    self.writer.add_scalar(f"Train/{k}", v,
-                                           self.global_step["train"])
+                self.step(batch, names)
+            self._flush_losses()
 
             if self.debug_on and self.save_fig and \
                     epoch % self.save_fig_frequency == 0:
