@@ -107,8 +107,11 @@ class RegistrationTrainer(TrainerBase):
         shuffle = get(loader_cfg, "shuffle", [True, True, False, False])
 
         dataset_cls = get_dataset(dataset_setting["dataset_class"])
-        phases = (["train", "val", "debug"] if self.mode == "train"
-                  else ["test"])
+        # the debug phase re-loads the whole train split (reference behavior,
+        # ``Registration2D3DDataset.py:30-31``) — only pay that when debug_on
+        debug_on_early = bool(get(train_setting, "debug_on", False))
+        phases = (["train", "val"] + (["debug"] if debug_on_early else [])
+                  if self.mode == "train" else ["test"])
         self.datasets = {p: dataset_cls(data_path, phase=p,
                                         option=dataset_setting)
                          for p in phases}
