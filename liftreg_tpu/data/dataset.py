@@ -206,6 +206,86 @@ def _stack_batch(samples):
     return batch, names
 
 
+class DeviceDatasetCache:
+    """Device-resident dataset cache: every sample staged to HBM once.
+
+    The per-step host->device path (stack ~64 MB/sample on one core, push
+    it through the tunnel) dominated the 160^3 train step (measured: the
+    ~2 s device step ballooned to 3.5-7 s host-bound). A 160^3 case is
+    ~66 MB, so whole DirLab-scale splits (40 cases ≈ 2.6 GB) fit HBM next
+    to the model and the PCA basis; batches then assemble as ONE device
+    gather per key (``jnp.take``) with zero per-step host traffic. This is
+    the TPU-native replacement for the reference's blosc in-RAM compression
+    (``Registration2D3DDataset.py:93-121``) — HBM is the cache, not host RAM.
+    """
+
+    def __init__(self, dataset):
+        import jax
+        import jax.numpy as jnp
+
+        samples, names = [], []
+        for i in range(len(dataset)):
+            s, n = dataset[i]
+            samples.append(s)
+            names.append(n)
+        if not samples:
+            raise ValueError("empty dataset")
+        self.names = names
+        self.arrays = {
+            k: jax.device_put(jnp.asarray(np.stack([s[k] for s in samples])))
+            for k in samples[0].keys()
+        }
+        self.nbytes = sum(int(np.prod(v.shape)) * v.dtype.itemsize
+                          for v in self.arrays.values())
+
+    def __len__(self):
+        return len(self.names)
+
+    def gather(self, indices):
+        """Assemble a batch on device; indices may repeat (padding)."""
+        import jax.numpy as jnp
+        idx = jnp.asarray(np.asarray(indices, dtype=np.int32))
+        return {k: jnp.take(v, idx, axis=0) for k, v in self.arrays.items()}
+
+
+class DeviceDataLoader:
+    """Loader over a :class:`DeviceDatasetCache` with the same semantics as
+    :class:`DataLoader` (shuffle / drop_last), plus index-level padding:
+    every yielded batch has exactly ``pad_to`` rows (final short batches
+    repeat their last index) while ``names`` lists only the real samples."""
+
+    def __init__(self, cache, batch_size=1, shuffle=False, seed=0,
+                 drop_last=False, pad_to=None):
+        self.cache = cache
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.pad_to = pad_to or batch_size
+        assert self.pad_to >= batch_size
+        self._rng = np.random.default_rng(seed)
+
+    def __len__(self):
+        n = len(self.cache)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def __iter__(self):
+        idx = np.arange(len(self.cache))
+        if self.shuffle:
+            self._rng.shuffle(idx)
+        batches = [idx[i:i + self.batch_size]
+                   for i in range(0, len(idx), self.batch_size)]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+        for b in batches:
+            names = [self.cache.names[int(i)] for i in b]
+            full = np.concatenate(
+                [b, np.repeat(b[-1:], self.pad_to - len(b))]) \
+                if len(b) < self.pad_to else b
+            yield self.cache.gather(full), names
+
+
 class DataLoader:
     """Minimal batching loader with shuffling and background prefetch."""
 

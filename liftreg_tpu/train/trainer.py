@@ -29,7 +29,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..data.dataset import DataLoader, get_dataset
+from ..data.dataset import (DataLoader, DeviceDataLoader, DeviceDatasetCache,
+                            get_dataset)
 from ..losses import get_loss, ncc_loss
 from ..models import get_model
 from ..ops.fd import compute_jacobi_map
@@ -120,12 +121,34 @@ class RegistrationTrainer(TrainerBase):
         # the gradient unweighted and every step the same shape); eval phases
         # keep it and set_input pads it to the static batch shape instead
         self.batch_size = batch_size
-        self.loaders = {p: DataLoader(
-            self.datasets[p], batch_size=batch_size,
-            shuffle=bool(shuffle[shuffle_idx[p]]),
-            drop_last=(p == "train"
-                       and len(self.datasets[p]) >= batch_size))
-                        for p in phases}
+
+        # Mesh (single-chip and multi-chip share this path); needed before
+        # the loaders to know the static mesh-divisible batch target
+        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(n_devices)
+        n_mesh = self.mesh.devices.size
+        self._target_b = -(-batch_size // n_mesh) * n_mesh
+
+        # Device-resident dataset cache (DESIGN.md: batches as HBM gathers,
+        # no per-step host->device traffic). 'auto' enables it when the
+        # loaded splits fit comfortably next to model + basis in HBM.
+        cache_cfg = get(train_setting, "cache_on_device", "auto")
+        use_cache = (cache_cfg if isinstance(cache_cfg, bool)
+                     else self._datasets_nbytes() < 6 * 2 ** 30)
+        self.loaders = {}
+        for p in phases:
+            drop_last = (p == "train"
+                         and len(self.datasets[p]) >= batch_size)
+            if use_cache:
+                cache = DeviceDatasetCache(self.datasets[p])
+                self.loaders[p] = DeviceDataLoader(
+                    cache, batch_size=batch_size,
+                    shuffle=bool(shuffle[shuffle_idx[p]]),
+                    drop_last=drop_last, pad_to=self._target_b)
+            else:
+                self.loaders[p] = DataLoader(
+                    self.datasets[p], batch_size=batch_size,
+                    shuffle=bool(shuffle[shuffle_idx[p]]),
+                    drop_last=drop_last)
 
         self.img_sz = tuple(get(dataset_setting, "img_after_resize",
                                 (160, 160, 160)))
@@ -192,9 +215,6 @@ class RegistrationTrainer(TrainerBase):
         optim_cfg = optim_cfg.as_dict() if hasattr(optim_cfg, "as_dict") else dict(optim_cfg)
         self.tx, self.base_lr, self.lr_scheduler = build_optimizer(optim_cfg)
 
-        # Mesh (single-chip and multi-chip share this path)
-        self.mesh = mesh if mesh is not None else mesh_lib.make_mesh(n_devices)
-
         # Parameters
         sample_batch = self._sample_batch()
         self.params = jax.jit(self.model.init)(
@@ -252,6 +272,17 @@ class RegistrationTrainer(TrainerBase):
         self._eval_step = self._build_eval_step()
 
     # ------------------------------------------------------------------
+    def _datasets_nbytes(self):
+        """Estimated bytes of all loaded splits (sample 0 x count)."""
+        total = 0
+        for ds in self.datasets.values():
+            if len(ds) == 0:
+                continue
+            sample, _ = ds[0]
+            total += len(ds) * sum(np.asarray(v).nbytes
+                                   for v in sample.values())
+        return total
+
     def _sample_batch(self):
         phase = "train" if self.mode == "train" else "test"
         ds = self.datasets[phase]
@@ -320,15 +351,18 @@ class RegistrationTrainer(TrainerBase):
     def set_input(self, batch_names, epoch):
         batch, names = batch_names
         # pad to a static, mesh-divisible shape (never silently replicate a
-        # partial batch across the mesh; never retrace on the final batch)
-        n = self.mesh.devices.size
-        target_b = -(-self.batch_size // n) * n
+        # partial batch across the mesh; never retrace on the final batch).
+        # DeviceDataLoader batches arrive pre-padded to the target.
+        target_b = self._target_b
         if target_b != self.batch_size and not self._warned_pad:
             print(f"note: batch_size {self.batch_size} is not divisible by "
-                  f"the {n}-device mesh; padding every batch to {target_b}")
+                  f"the {self.mesh.devices.size}-device mesh; padding every "
+                  f"batch to {target_b}")
             self._warned_pad = True
-        batch, n_valid = mesh_lib.pad_batch(batch, target_b)
-        assert n_valid == len(names)
+        b = next(v.shape[0] for v in batch.values()
+                 if hasattr(v, "ndim") and v.ndim > 0)
+        if b != target_b:
+            batch, _ = mesh_lib.pad_batch(batch, target_b)
         batch = mesh_lib.shard_batch(batch, self.mesh)
         return batch, names
 
