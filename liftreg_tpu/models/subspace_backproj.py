@@ -65,10 +65,18 @@ def expand_pca(coefs, pca_vectors, pca_mean, img_sz,
     ``pca_vectors``: (L, 3*D*W*H) — the on-disk ``pca_vectors.npy`` layout
     (used untransposed: the reference loads ``.T`` then ``F.linear`` applies
     ``.T`` again, ``:42,102``). ``pca_mean``: (3*D*W*H,).
+
+    A bf16 ``pca_vectors`` buffer (see ``load_pca(..., dtype=)``) halves the
+    dominant HBM read of this thin matmul; the product accumulates in f32
+    (``preferred_element_type``) and the mean stays f32.
     """
     B = coefs.shape[0]
-    disp = jnp.dot(coefs, pca_vectors.astype(jnp.float32),
-                   precision=precision) + pca_mean
+    if pca_vectors.dtype == jnp.bfloat16:
+        disp = jnp.dot(coefs.astype(jnp.bfloat16), pca_vectors,
+                       preferred_element_type=jnp.float32) + pca_mean
+    else:
+        disp = jnp.dot(coefs, pca_vectors.astype(jnp.float32),
+                       precision=precision) + pca_mean
     return disp.reshape(B, 3, *img_sz)
 
 

@@ -78,13 +78,15 @@ class MetricsLogger:
             self.tb.close()
 
 
-def load_pca(pca_path):
+def load_pca(pca_path, dtype=None):
     """Load {pca_vectors, pca_mean} from ``pca_path`` (reference layout,
     ``LiftRegDeformSubspaceBackproj.py:42-43``: on-disk vectors are
-    (latent, 3*D*W*H))."""
+    (latent, 3*D*W*H)). ``dtype=jnp.bfloat16`` stores the vectors bf16 in
+    HBM (half the expansion's read traffic; the matmul still accumulates
+    f32 — ``expand_pca``); the mean stays f32."""
     vectors = np.load(os.path.join(pca_path, "pca_vectors.npy"))
     mean = np.load(os.path.join(pca_path, "pca_mean.npy"))
-    return {"vectors": jnp.asarray(vectors, jnp.float32),
+    return {"vectors": jnp.asarray(vectors, dtype or jnp.float32),
             "mean": jnp.asarray(mean, jnp.float32)}
 
 
@@ -201,8 +203,10 @@ class RegistrationTrainer(TrainerBase):
             model_kwargs["compute_dtype"] = jnp.bfloat16
         self.model = model_cls(**model_kwargs)
         pca_path = model_cfg.get("pca_path", "")
-        self.pca = load_pca(pca_path) if pca_path and os.path.isdir(pca_path) \
-            else None
+        pca_dtype = jnp.bfloat16 \
+            if model_cfg.get("pca_dtype") == "bfloat16" else None
+        self.pca = load_pca(pca_path, dtype=pca_dtype) \
+            if pca_path and os.path.isdir(pca_path) else None
 
         # Loss
         loss_cfg = train_setting["loss"]

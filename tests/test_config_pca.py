@@ -111,3 +111,30 @@ def test_nifti_writer_roundtrip(tmp_path):
     data = np.frombuffer(raw[352:], dtype=np.float32).reshape((2, 3, 4),
                                                               order="F")
     np.testing.assert_allclose(data, arr)
+
+
+def test_expand_pca_bf16_storage(tmp_path):
+    """bf16-stored basis (half HBM read) stays within bf16 tolerance of the
+    f32 expansion and loads via load_pca(dtype=)."""
+    import jax.numpy as jnp
+    from liftreg_tpu import pca as pca_lib
+    from liftreg_tpu.models.subspace_backproj import expand_pca
+    from liftreg_tpu.train.trainer import load_pca
+
+    rng = np.random.default_rng(0)
+    L, sz = 6, 8
+    vectors = rng.normal(size=(L, 3 * sz ** 3)).astype(np.float32)
+    mean = rng.normal(size=(3 * sz ** 3,)).astype(np.float32) * 0.1
+    pca_lib.save_pca(str(tmp_path), vectors, mean)
+    f32 = load_pca(str(tmp_path))
+    bf16 = load_pca(str(tmp_path), dtype=jnp.bfloat16)
+    assert bf16["vectors"].dtype == jnp.bfloat16
+    assert bf16["mean"].dtype == jnp.float32
+
+    coefs = jnp.asarray(rng.normal(size=(2, L)).astype(np.float32))
+    ref = expand_pca(coefs, f32["vectors"], f32["mean"], (sz, sz, sz))
+    got = expand_pca(coefs, bf16["vectors"], bf16["mean"], (sz, sz, sz))
+    assert got.dtype == jnp.float32
+    scale = float(jnp.abs(ref).max())
+    rel = float(jnp.abs(ref - got).max()) / scale
+    assert rel < 2e-2, rel  # bf16 mantissa level
