@@ -64,9 +64,38 @@ def random_disp(rng, sz, magnitude=0.06):
                      for _ in range(3)])
 
 
+class LowRankDeformationModel:
+    """Deformations sampled from a shared low-dimensional smooth subspace:
+    ``disp = sum_k c_k B_k`` with a fixed bank of ``rank`` smooth basis
+    fields and per-case coefficients ``c ~ N(0, 1)``.
+
+    This matches the statistical-deformation-model premise LiftReg is built
+    on (respiratory motion is low-dimensional; the PCA subspace can span
+    it). Independent per-case random fields — the round-1 phantom — give
+    48 mutually orthogonal fields that no 24-component basis can span, and
+    the projections->coefficients regression has no shared structure to
+    learn; training measurably stalls (see DEMO.md).
+    """
+
+    def __init__(self, rng, sz, rank=16, magnitude=0.06):
+        norm = 1.0 / np.sqrt(rank)
+        self.basis = np.stack([random_disp(rng, sz, magnitude * norm)
+                               for _ in range(rank)])  # (K, 3, D, W, H)
+        self.rank = rank
+
+    def sample(self, rng):
+        c = rng.normal(size=self.rank).astype(np.float32)
+        return np.tensordot(c, self.basis, axes=(0, 0))  # (3, D, W, H)
+
+
 def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
-             scan_range=30.0, latent=8, seed=0):
+             scan_range=30.0, latent=8, seed=0, deformation_rank=0):
+    """``deformation_rank > 0`` draws every case's deformation from a shared
+    ``deformation_rank``-dimensional smooth subspace (the setting the
+    method is designed for); 0 keeps fully independent random fields."""
     rng = np.random.default_rng(seed)
+    deform_model = (LowRankDeformationModel(rng, sz, deformation_rank)
+                    if deformation_rank else None)
     pre = os.path.join(out, "preprocessed")
     os.makedirs(pre, exist_ok=True)
     drr_dir = os.path.join(out, "drr", "drr", "drr")
@@ -89,7 +118,8 @@ def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
             counter += 1
             ids.append(cid)
             ct, seg = make_phantom(rng, sz)
-            disp = random_disp(rng, sz)
+            disp = (deform_model.sample(rng) if deform_model is not None
+                    else random_disp(rng, sz))
             phi = jnp.asarray(idm + disp)[None]
             # target = source warped by phi (in SAR; warp is orientation-free)
             tgt = np.asarray(resample.warp_image(
@@ -176,6 +206,10 @@ if __name__ == "__main__":
     ap.add_argument("--n_proj", type=int, default=4)
     ap.add_argument("--latent", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--deformation_rank", type=int, default=0,
+                    help="draw deformations from a shared low-rank smooth "
+                         "subspace (0 = independent fields)")
     a = ap.parse_args()
     generate(a.out, a.n_train, a.n_val, a.n_test, a.size, a.n_proj,
-             latent=a.latent, seed=a.seed)
+             latent=a.latent, seed=a.seed,
+             deformation_rank=a.deformation_rank)
