@@ -42,3 +42,31 @@ def test_gt_phi_scores_near_zero_tre(synth):
         # GT should be (near) exact; identity reflects the deformation size
         assert tre_gt < 0.05, (cid, tre_gt, tre_id)
         assert tre_id > 10 * max(tre_gt, 1e-3), (cid, tre_gt, tre_id)
+
+
+def test_low_rank_deformation_dataset(tmp_path):
+    """--deformation_rank: all generated fields live in the shared
+    subspace, so a rank-sized PCA basis explains ~all variance."""
+    from tools.make_synthetic_dataset import generate
+    from liftreg_tpu import pca as pca_lib
+    import numpy as np
+
+    out = str(tmp_path / "lowrank")
+    generate(out, n_train=6, n_val=1, n_test=1, sz=24, n_proj=2, latent=4,
+             seed=3, deformation_rank=4)
+    vectors = np.load(out + "/pca/pca_vectors.npy")
+    assert vectors.shape[0] == 4
+    # reconstruct each case's stored GT field from the basis: residual ~ 0
+    import glob
+    from liftreg_tpu.coords import identity_map_np
+    idm = identity_map_np((24, 24, 24)).reshape(-1)
+    mean = np.load(out + "/pca/pca_mean.npy")
+    scale = np.linalg.norm(vectors, axis=1, keepdims=True)
+    vn = vectors / scale
+    for f in glob.glob(out + "/gt_phi/*_phi.npy"):
+        disp = (np.load(f).reshape(3 * 24 ** 3) * 2.0 - 1.0) - idm
+        centered = disp - mean
+        recon = (centered @ vn.T) @ vn
+        resid = np.linalg.norm(centered - recon) / max(
+            np.linalg.norm(centered), 1e-9)
+        assert resid < 0.05, resid
