@@ -39,6 +39,20 @@ def _gather_nd(vol_flat, idx_flat):
 
 
 def _trilinear_quad(vol, coords, padding):
+    """Batch wrapper: per-index gather cost roughly DOUBLES once the gather
+    operand exceeds a single volume (measured at 160^3: B=1 54.6 ms but a
+    monolithic B=2 gather 211-228 ms, B=4 421 ms), so batches process one
+    element at a time — bit-exact, and 2x faster from B=2 up (B=2 108 ms,
+    B=4 215 ms). The loop unrolls at trace time (B is static)."""
+    B = vol.shape[0]
+    if B > 1:
+        outs = [_trilinear_quad_one(vol[b:b + 1], coords[b:b + 1], padding)
+                for b in range(B)]
+        return jnp.concatenate(outs, axis=0)
+    return _trilinear_quad_one(vol, coords, padding)
+
+
+def _trilinear_quad_one(vol, coords, padding):
     """Fast exact trilinear path: 2 row-gathers instead of 8 scalar gathers.
 
     Gather cost on TPU is per-*index* and nearly independent of row width
