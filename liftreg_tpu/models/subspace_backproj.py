@@ -89,6 +89,10 @@ class LiftRegSubspaceBackproj(nn.Module):
     enc_filters: Sequence[int] = (16, 32, 32, 32, 32, 32)
     compute_dtype: Any = None
     backproject_chunk: int = 16
+    #: jnp.bfloat16 selects the 1-gather serving warp (bf16 tap storage,
+    #: ~4e-3 relative intensity error on the warped image, map stays
+    #: f32-exact; resample._trilinear_oct_bf16). None = f32-exact warp.
+    warp_taps_dtype: Any = None
 
     def setup(self):
         self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
@@ -127,7 +131,8 @@ class LiftRegSubspaceBackproj(nn.Module):
         disp = expand_pca(coefs, pca["vectors"], pca["mean"], self.img_sz)
         phi = disp + identity_map(self.img_sz)[None]
         warped = resample.warp_image(moving_cp, phi, zero_boundary=True,
-                                     scale_intensity=True)
+                                     scale_intensity=True,
+                                     taps_dtype=self.warp_taps_dtype)
         return {
             "warped": warped,
             "phi": phi,

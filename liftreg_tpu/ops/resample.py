@@ -122,7 +122,61 @@ def _trilinear_quad_one(vol, coords, padding):
     return out.reshape(B, C, *out_shape)
 
 
-def grid_sample(vol, coords, mode="bilinear", padding="zeros"):
+def _trilinear_oct_bf16(vol, coords, padding):
+    """Serving fast path: the ENTIRE 2x2x2 corner block as ONE gathered row.
+
+    The gather law (DESIGN.md section 3): ~6.5 ns/index while the operand
+    stays <= ~66 MB, ~15 ns/index beyond. An 8-wide bf16 buffer of a 160^3
+    volume is exactly 66 MB, so one 4.1M-index gather covers all 8 taps in
+    ~26 ms — half the exact quad path's 2 gathers. Taps are stored bf16
+    (~4e-3 relative intensity error on the warped image; the map itself
+    stays f32-exact), weights/accumulation are f32. Opt-in via
+    ``grid_sample(..., taps_dtype=jnp.bfloat16)``.
+    """
+    B, C = vol.shape[:2]
+    D, W, H = vol.shape[2:]
+    S = D * W * H
+    out_shape = coords.shape[1:-1]
+    if B > 1:
+        outs = [_trilinear_oct_bf16(vol[b:b + 1], coords[b:b + 1], padding)
+                for b in range(B)]
+        return jnp.concatenate(outs, axis=0)
+    c = coords.reshape(1, -1, 3).astype(jnp.float32)
+    M = c.shape[1]
+    if padding == "border":
+        c = jnp.clip(c, 0.0, jnp.asarray([D - 1, W - 1, H - 1],
+                                         dtype=jnp.float32))
+    starts, w01 = [], []
+    for d, n in zip(range(3), (D, W, H)):
+        cd = c[..., d]
+        sd = jnp.clip(jnp.floor(cd).astype(jnp.int32), 0, n - 2)
+        t = cd - sd
+        starts.append(sd)
+        w01.append((jnp.maximum(0.0, 1.0 - jnp.abs(t)),
+                    jnp.maximum(0.0, 1.0 - jnp.abs(t - 1.0))))
+
+    v = vol.astype(jnp.bfloat16).reshape(-1)
+
+    def shift(k):
+        return jnp.concatenate([v[k:], v[:k]]) if k else v
+
+    octs = jnp.stack([shift(dz * W * H + dy * H + dx)
+                      for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)],
+                     axis=1)                                # (C*S, 8)
+    base = starts[0] * (W * H) + starts[1] * H + starts[2]  # (1, M)
+    out = jnp.zeros((1, C, M), dtype=jnp.float32)
+    wz, wy, wx = w01
+    weights = [wz[dz] * wy[dy] * wx[dx]
+               for dz in (0, 1) for dy in (0, 1) for dx in (0, 1)]
+    for ch in range(C):
+        rows = octs[(base + ch * S).reshape(-1)].astype(jnp.float32)  # (M, 8)
+        val = sum(rows[:, k] * weights[k].reshape(-1) for k in range(8))
+        out = out.at[:, ch, :].set(val[None])
+    return out.reshape(1, C, *out_shape)
+
+
+def grid_sample(vol, coords, mode="bilinear", padding="zeros",
+                taps_dtype=None):
     """Sample ``vol`` at pixel-space ``coords`` (align_corners=True semantics).
 
     Args:
@@ -133,6 +187,9 @@ def grid_sample(vol, coords, mode="bilinear", padding="zeros"):
       mode: ``bilinear`` (tri/bilinear) or ``nearest``.
       padding: ``zeros`` (out-of-range taps contribute 0, matching torch
         zeros+align_corners) or ``border`` (clamp).
+      taps_dtype: ``jnp.bfloat16`` selects the 1-gather serving path for
+        the 3D bilinear case (bf16 tap storage, f32 weights/accumulation —
+        see :func:`_trilinear_oct_bf16`); None (default) is f32-exact.
 
     Returns:
       ``(B, C, *out_shape)``.
@@ -145,6 +202,8 @@ def grid_sample(vol, coords, mode="bilinear", padding="zeros"):
 
     if ndim == 3 and mode == "bilinear" and spatial[-1] >= 2 \
             and spatial[-2] >= 2:
+        if taps_dtype == jnp.bfloat16 and spatial[0] >= 2:
+            return _trilinear_oct_bf16(vol, coords, padding)
         return _trilinear_quad(vol, coords, padding)
 
     vol_flat = vol.reshape(B, C, -1)
@@ -211,17 +270,19 @@ def grid_sample(vol, coords, mode="bilinear", padding="zeros"):
     return out.reshape(B, C, *out_shape)
 
 
-def grid_sample_normalized(vol, grid, mode="bilinear", padding="zeros"):
+def grid_sample_normalized(vol, grid, mode="bilinear", padding="zeros",
+                           taps_dtype=None):
     """Like :func:`grid_sample` but ``grid`` holds [-1,1] normalized coords
     (align_corners=True), ``grid[..., d]`` indexing spatial axis ``d``."""
     spatial = vol.shape[2:]
     scale = jnp.asarray([(n - 1) * 0.5 for n in spatial], dtype=grid.dtype)
     coords = (grid + 1.0) * scale
-    return grid_sample(vol, coords, mode=mode, padding=padding)
+    return grid_sample(vol, coords, mode=mode, padding=padding,
+                       taps_dtype=taps_dtype)
 
 
 def warp_image(image, phi, mode="bilinear", zero_boundary=True,
-               scale_intensity=True):
+               scale_intensity=True, taps_dtype=None):
     """Warp ``image`` by map ``phi`` — the reference's ``Bilinear`` transform
     (``net_utils.py:9-56``) with its channel flip already folded in.
 
@@ -237,9 +298,10 @@ def warp_image(image, phi, mode="bilinear", zero_boundary=True,
     padding = "zeros" if zero_boundary else "border"
     if scale_intensity:
         out = grid_sample_normalized((image + 1.0) * 0.5, grid, mode=mode,
-                                     padding=padding)
+                                     padding=padding, taps_dtype=taps_dtype)
         return out * 2.0 - 1.0
-    return grid_sample_normalized(image, grid, mode=mode, padding=padding)
+    return grid_sample_normalized(image, grid, mode=mode, padding=padding,
+                                  taps_dtype=taps_dtype)
 
 
 def resize_nearest_2d(img, out_hw):

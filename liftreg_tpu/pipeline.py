@@ -50,9 +50,12 @@ class RegistrationPipeline:
             else drr.default_resolution(self.img_sz)
         self.poses = drr.synthesize_poses(scan_range_deg, n_proj,
                                           self.img_sz[1])
+        # serving config: a bf16 compute dtype also opts into the 1-gather
+        # bf16-tap warp (the map stays f32; see resample._trilinear_oct_bf16)
         self.model = LiftRegSubspaceBackproj(
             img_sz=self.img_sz, latent_dim=latent_dim,
-            drr_feature_num=n_proj, compute_dtype=compute_dtype)
+            drr_feature_num=n_proj, compute_dtype=compute_dtype,
+            warp_taps_dtype=compute_dtype)
         self._register = jax.jit(self._register_impl)
 
     def init_params(self, rng_key, pca):

@@ -133,3 +133,32 @@ def test_warp_gradients_match_finite_differences():
             fd = (float(fn(jnp.asarray(ap.reshape(arg.shape))))
                   - float(fn(jnp.asarray(am.reshape(arg.shape))))) / (2 * eps)
             assert gflat[i] == pytest.approx(fd, rel=5e-2, abs=2e-2)
+
+
+def test_oct_bf16_serving_warp():
+    """1-gather bf16-tap warp: within bf16 tolerance of the exact path,
+    including zeros/border boundary handling."""
+    import jax.numpy as jnp
+    from liftreg_tpu.ops import resample
+
+    rng = np.random.default_rng(5)
+    B, sz = 2, 12
+    vol = jnp.asarray(rng.uniform(-1, 1, (B, 1, sz, sz, sz))
+                      .astype(np.float32))
+    # coords pushing past every face to exercise boundary handling
+    grid = jnp.asarray(rng.uniform(-1.3, 1.3, (B, sz, sz, sz, 3))
+                       .astype(np.float32))
+    for padding in ("zeros", "border"):
+        exact = resample.grid_sample_normalized(vol, grid, padding=padding)
+        fast = resample.grid_sample_normalized(vol, grid, padding=padding,
+                                               taps_dtype=jnp.bfloat16)
+        err = float(jnp.abs(exact - fast).max())
+        assert err < 2e-2, (padding, err)
+        # exactly-representable volume (integers) -> bf16 taps are exact
+        voli = jnp.asarray(
+            rng.integers(-8, 8, (B, 1, sz, sz, sz)).astype(np.float32))
+        e2 = resample.grid_sample_normalized(
+            voli, grid, padding=padding, taps_dtype=jnp.bfloat16)
+        r2 = resample.grid_sample_normalized(voli, grid, padding=padding)
+        np.testing.assert_allclose(np.asarray(e2), np.asarray(r2),
+                                   atol=2e-5)
