@@ -23,6 +23,9 @@ class LiftRegSubspace(nn.Module):
     drr_feature_num: int = 4
     enc_filters: Sequence[int] = (16, 32, 32, 32, 32, 32)
     compute_dtype: Any = None
+    #: jnp.bfloat16 selects the 1-gather serving warp (see
+    #: resample._trilinear_oct_bf16); None = f32-exact warp
+    warp_taps_dtype: Any = None
 
     def setup(self):
         self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
@@ -52,7 +55,8 @@ class LiftRegSubspace(nn.Module):
         disp = expand_pca(coefs, pca["vectors"], pca["mean"], self.img_sz)
         phi = disp + identity_map(self.img_sz)[None]
         warped = resample.warp_image(moving_cp, phi, zero_boundary=True,
-                                     scale_intensity=True)
+                                     scale_intensity=True,
+                                     taps_dtype=self.warp_taps_dtype)
         return {
             "warped": warped,
             "phi": phi,

@@ -201,6 +201,10 @@ class RegistrationTrainer(TrainerBase):
             model_kwargs["drr_feature_num"] = int(model_cfg["drr_feature_num"])
         if model_cfg.get("compute_dtype") == "bfloat16":
             model_kwargs["compute_dtype"] = jnp.bfloat16
+        if model_cfg.get("warp_taps_dtype") == "bfloat16" and \
+                model_cls.__name__ != "RegNet2D3D":
+            # fast-train mode: 1-gather bf16-tap warp (resample docstring)
+            model_kwargs["warp_taps_dtype"] = jnp.bfloat16
         self.model = model_cls(**model_kwargs)
         pca_path = model_cfg.get("pca_path", "")
         pca_dtype = jnp.bfloat16 \
