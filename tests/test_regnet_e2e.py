@@ -75,3 +75,33 @@ def test_regnet_training_step(synth_dataset, tmp_path):
     losses = trainer.step(batch, names)
     assert np.isfinite(losses["total_loss"])
     assert "sim_loss" in losses and "reg_loss" in losses
+
+
+def test_projection_interval_and_roi(tmp_path):
+    """load_projection_interval subsamples views; per-view ROI files load
+    (``Registration2D3DDataset.py:95-96,116-118``)."""
+    import numpy as np
+    from tools.make_synthetic_dataset import generate
+    from liftreg_tpu.data.dataset import Registration2D3DDataset
+
+    out = str(tmp_path / "ds")
+    generate(out, n_train=2, n_val=1, n_test=1, sz=24, n_proj=4, latent=2,
+             seed=2)
+    # write ROI files for the train cases (one box per view)
+    import os
+    roi_dir = os.path.join(out, "drr", "drr", "roi")
+    os.makedirs(roi_dir)
+    ids = [str(i) for i in np.load(os.path.join(out, "train", "data_id.npy"))]
+    for cid in ids:
+        np.save(os.path.join(roi_dir, f"{cid}_target_proj_roi.npy"),
+                np.tile([2, 20, 3, 21], (4, 1)).astype(np.int64))
+
+    opt = {"drr_folder_name": "drr", "use_segmentation_map": True,
+           "spacing_to_refer": [2.2] * 3, "load_projection_interval": 2,
+           "max_num_for_loading": (-1,) * 4}
+    ds = Registration2D3DDataset(out, phase="train", option=opt)
+    sample, name = ds[0]
+    assert sample["target_proj"].shape[0] == 2  # 4 views / interval 2
+    assert sample["source_proj"].shape[0] == 2
+    assert sample["target_poses"].shape[0] == 2
+    assert sample["target_proj_roi"].shape == (2, 4)  # subsampled too
