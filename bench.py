@@ -60,7 +60,9 @@ def main():
     }
     params = pipe.init_params(keys[2], pca)
 
-    B = 1
+    # production serving batches: B=4 amortizes encoder/PCA work across the
+    # per-volume warp gathers (measured 18.5 reg/s at B=1, 23.4 at B=4)
+    B = 4
     shape = (B, 1, sz, sz, sz)
     source_hu = jax.random.uniform(keys[3], shape, jnp.float32, -1000.0, 0.0)
     target_hu = jax.random.uniform(keys[4], shape, jnp.float32, -1000.0, 0.0)
