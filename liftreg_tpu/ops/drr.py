@@ -241,19 +241,18 @@ def backproject_with_mats(proj, Bu, Bv, plane_chunk=16,
         Bu = jnp.pad(Bu, ((0, 0), (0, pad), (0, 0), (0, 0)))
         Bv = jnp.pad(Bv, ((0, 0), (0, pad), (0, 0), (0, 0)))
 
-    Bu_c = Bu.reshape(P, nchunk, plane_chunk, D, proj_w).transpose(1, 0, 2, 3, 4)
-    Bv_c = Bv.reshape(P, nchunk, plane_chunk, H, proj_h).transpose(1, 0, 2, 3, 4)
+    Bu_c = Bu.reshape(P, nchunk, plane_chunk, D, proj_w)
+    Bv_c = Bv.reshape(P, nchunk, plane_chunk, H, proj_h)
 
-    def body(_, inputs):
-        bu_c, bv_c = inputs  # (P,Kc,D,proj_w), (P,Kc,H,proj_h)
-        out = jnp.einsum("pjiu,bpuv,pjkv->bpijk", bu_c, proj, bv_c,
-                         preferred_element_type=jnp.float32,
-                         precision=precision)
-        return None, out    # (B,P,D,Kc,H)
-
-    _, chunks = jax.lax.scan(body, None, (Bu_c, Bv_c))
-    # chunks: (nchunk, B, P, D, Kc, H) -> (B, P, D, W, H)
-    vol = chunks.transpose(1, 2, 3, 0, 4, 5).reshape(B, P, D, nchunk * plane_chunk, H)
+    # statically unrolled over W-chunks, concatenated along the W axis.
+    # (A lax.scan stacks chunks on a leading axis and the 6-D transpose to
+    # (B,P,D,W,H) picks a (P,B)-minor layout that tile-pads 16-32x — 7.8 GB
+    # of padding at B=8.)
+    chunks = [jnp.einsum("pjiu,bpuv,pjkv->bpijk", Bu_c[:, c], proj,
+                         Bv_c[:, c], preferred_element_type=jnp.float32,
+                         precision=precision)       # (B, P, D, Kc, H)
+              for c in range(nchunk)]
+    vol = jnp.concatenate(chunks, axis=3)
     return vol[:, :, :, :W, :]
 
 

@@ -155,7 +155,10 @@ def _trilinear_oct_bf16(vol, coords, padding):
         w01.append((jnp.maximum(0.0, 1.0 - jnp.abs(t)),
                     jnp.maximum(0.0, 1.0 - jnp.abs(t - 1.0))))
 
-    v = vol.astype(jnp.bfloat16).reshape(-1)
+    # flatten BEFORE the bf16 cast: casting the 5-D (B,1,D,W,H) array puts
+    # the singleton channel in the minor (lane) dim and XLA materializes a
+    # 128x-padded copy (7.8 GB at B=8)
+    v = vol.reshape(-1).astype(jnp.bfloat16)
 
     def shift(k):
         return jnp.concatenate([v[k:], v[:k]]) if k else v
