@@ -32,14 +32,21 @@ def sigmoid_decay(ep, static=5, k=5):
     return float(k / (k + np.exp((ep - static) / k)))
 
 
-def displacement_reg(disp, reduction="mean"):
+def displacement_reg(disp, reduction="mean", weights=None):
     """mean (or per-sample-mean-then-sum) of ``||grad disp||^2`` with
-    spacing ``2/(N-1)`` (``SubspaceLoss.py:51-67``)."""
+    spacing ``2/(N-1)`` (``SubspaceLoss.py:51-67``). ``weights`` (B,)
+    zero out pad rows (``mesh.pad_batch``) in either reduction."""
     sp = 2.0 / (np.array(disp.shape[2:]) - 1.0)
     l2 = fd.grad_norm_sq(disp, sp)
+    per_sample = jnp.mean(l2.reshape(l2.shape[0], -1), axis=1)
+    if weights is None:
+        if reduction == "mean":
+            return jnp.mean(l2)
+        return jnp.sum(per_sample)
+    w = weights.astype(per_sample.dtype)
     if reduction == "mean":
-        return jnp.mean(l2)
-    return jnp.sum(jnp.mean(l2, axis=(1, 2, 3)))
+        return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+    return jnp.sum(per_sample * w)
 
 
 @dataclasses.dataclass
@@ -70,10 +77,14 @@ class SubspaceLoss:
             minimum=float(opt.get("min_reg_factor", 1e-3)),
             decay_from=int(opt.get("reg_factor_decay_from", 10)))
 
-    def __call__(self, output, reg_factor):
-        """``reg_factor``: scalar from :meth:`factor` (host-computed)."""
-        sim_loss = self.sim(output[self.sim_key], output[self.target_key])
-        reg_loss = displacement_reg(output["params"])
+    def __call__(self, output, reg_factor, weights=None):
+        """``reg_factor``: scalar from :meth:`factor` (host-computed).
+        ``weights``: optional (B,) validity mask — pad rows added for mesh
+        divisibility (``mesh.pad_batch``) get weight 0 so the repeated final
+        sample carries no extra gradient."""
+        sim_loss = self.sim(output[self.sim_key], output[self.target_key],
+                            weights=weights)
+        reg_loss = displacement_reg(output["params"], weights=weights)
         total = sim_loss + reg_factor * reg_loss
         return {"total_loss": total, "sim_loss": sim_loss,
                 "reg_loss": reg_loss}
@@ -92,13 +103,16 @@ class RegNet2D3DLoss(SubspaceLoss):
     """Bidirectional projection similarity + reg on both fields
     (``RegNet2D3DLoss.py:31-32,67``)."""
 
-    def __call__(self, output, reg_factor):
-        sim_loss = (self.sim(output["warped_proj"], output["target_proj"])
+    def __call__(self, output, reg_factor, weights=None):
+        sim_loss = (self.sim(output["warped_proj"], output["target_proj"],
+                             weights=weights)
                     + self.sim(output["source_proj"],
-                               output["warped_proj_inv"]))
+                               output["warped_proj_inv"], weights=weights))
         disp, disp_inv = output["params"]
-        reg_loss = (displacement_reg(disp, reduction="sum_of_means")
-                    + displacement_reg(disp_inv, reduction="sum_of_means"))
+        reg_loss = (displacement_reg(disp, reduction="sum_of_means",
+                                     weights=weights)
+                    + displacement_reg(disp_inv, reduction="sum_of_means",
+                                       weights=weights))
         total = sim_loss + reg_factor * reg_loss
         return {"total_loss": total, "sim_loss": sim_loss,
                 "reg_loss": reg_loss}

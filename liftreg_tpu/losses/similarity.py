@@ -19,7 +19,17 @@ import jax
 import jax.numpy as jnp
 
 
-def ncc_loss(pred, target):
+def _batch_mean(per_sample, weights):
+    """Mean over the batch axis; with ``weights`` (B,) a weighted mean so
+    zero-weight pad rows (mesh-divisibility padding, ``mesh.pad_batch``)
+    contribute nothing to the loss or its gradient."""
+    if weights is None:
+        return jnp.mean(per_sample)
+    w = weights.astype(per_sample.dtype)
+    return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
+
+
+def ncc_loss(pred, target, weights=None):
     """1 - mean_batch NCC. Matches ``layers/losses.py:14-29`` including its
     ``+1e-10`` on the centered values."""
     b = pred.shape[0]
@@ -29,10 +39,10 @@ def ncc_loss(pred, target):
     ym = y - jnp.mean(y, axis=1, keepdims=True) + 1e-10
     ncc = jnp.mean(xm * ym, axis=1) / jnp.sqrt(
         jnp.mean(xm ** 2, axis=1) * jnp.mean(ym ** 2, axis=1))
-    return 1.0 - jnp.mean(ncc)
+    return 1.0 - _batch_mean(ncc, weights)
 
 
-def ncc_sqr_loss(pred, target):
+def ncc_sqr_loss(pred, target, weights=None):
     """Squared-NCC variant of ``layers/layers.py:238-255``: per-channel
     squared correlation, channel-mean, batch-sum, ``1 - sum/B``."""
     b, c = pred.shape[0], pred.shape[1]
@@ -42,7 +52,7 @@ def ncc_sqr_loss(pred, target):
     ym = y - jnp.mean(y, axis=2, keepdims=True)
     ncc_sqr = (jnp.mean(xm * ym, axis=2) ** 2) / (
         jnp.mean(xm ** 2, axis=2) * jnp.mean(ym ** 2, axis=2) + 1e-12)
-    return 1.0 - jnp.sum(jnp.mean(ncc_sqr, axis=1)) / b
+    return 1.0 - _batch_mean(jnp.mean(ncc_sqr, axis=1), weights)
 
 
 def _ngf_gradient(x, eps):
@@ -58,12 +68,13 @@ def _ngf_gradient(x, eps):
     return g / jnp.sqrt(jnp.sum(g ** 2, axis=-1, keepdims=True) + eps)
 
 
-def ngf_loss(i0, i1, eps=1e-10):
+def ngf_loss(i0, i1, eps=1e-10, weights=None):
     """Normalized-gradient-field loss for 2D images (``layers/losses.py:31-58``)."""
     g0 = _ngf_gradient(i0, eps)
     g1 = _ngf_gradient(i1, eps)
     dot = jnp.sum(g0 * g1, axis=-1)
-    return 1.0 - jnp.mean(dot ** 2)
+    per_sample = jnp.mean(dot.reshape(dot.shape[0], -1) ** 2, axis=1)
+    return 1.0 - _batch_mean(per_sample, weights)
 
 
 _SOBEL_BASE = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
@@ -105,7 +116,7 @@ def _box_sum(x, win):
     return x
 
 
-def lncc_loss(pred, target, win=9, eps=1e-5):
+def lncc_loss(pred, target, win=9, eps=1e-5, weights=None):
     """Local NCC over ``win``-cubed windows, 1 - mean(cc^2)."""
     i, j = pred, target
     i2, j2, ij = i * i, j * j, i * j
@@ -117,7 +128,8 @@ def lncc_loss(pred, target, win=9, eps=1e-5):
     var_i = si2 - 2 * mu_i * si + mu_i * mu_i * n
     var_j = sj2 - 2 * mu_j * sj + mu_j * mu_j * n
     cc = (cross * cross) / (var_i * var_j + eps)
-    return 1.0 - jnp.mean(cc)
+    per_sample = jnp.mean(cc.reshape(cc.shape[0], -1), axis=1)
+    return 1.0 - _batch_mean(per_sample, weights)
 
 
 SIMILARITY_REGISTRY = {

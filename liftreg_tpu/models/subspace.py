@@ -26,6 +26,8 @@ class LiftRegSubspace(nn.Module):
     #: jnp.bfloat16 selects the 1-gather serving warp (see
     #: resample._trilinear_oct_bf16); None = f32-exact warp
     warp_taps_dtype: Any = None
+    #: optional jax.sharding.Mesh — shard_map the warp over its data axis
+    mesh: Any = None
 
     def setup(self):
         self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
@@ -56,7 +58,8 @@ class LiftRegSubspace(nn.Module):
         phi = disp + identity_map(self.img_sz)[None]
         warped = resample.warp_image(moving_cp, phi, zero_boundary=True,
                                      scale_intensity=True,
-                                     taps_dtype=self.warp_taps_dtype)
+                                     taps_dtype=self.warp_taps_dtype,
+                                     mesh=self.mesh)
         return {
             "warped": warped,
             "phi": phi,

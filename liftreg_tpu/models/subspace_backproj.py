@@ -93,6 +93,9 @@ class LiftRegSubspaceBackproj(nn.Module):
     #: ~4e-3 relative intensity error on the warped image, map stays
     #: f32-exact; resample._trilinear_oct_bf16). None = f32-exact warp.
     warp_taps_dtype: Any = None
+    #: optional jax.sharding.Mesh — shard_map the warp over its data axis
+    #: so each chip warps only its own batch shard (resample.warp_image).
+    mesh: Any = None
 
     def setup(self):
         self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
@@ -132,7 +135,8 @@ class LiftRegSubspaceBackproj(nn.Module):
         phi = disp + identity_map(self.img_sz)[None]
         warped = resample.warp_image(moving_cp, phi, zero_boundary=True,
                                      scale_intensity=True,
-                                     taps_dtype=self.warp_taps_dtype)
+                                     taps_dtype=self.warp_taps_dtype,
+                                     mesh=self.mesh)
         return {
             "warped": warped,
             "phi": phi,

@@ -33,6 +33,8 @@ class RegNet2D3D(nn.Module):
     compute_dtype: Any = None
     backproject_chunk: int = 16
     project_chunk: int = 32
+    #: optional jax.sharding.Mesh — shard_map the warps over its data axis
+    mesh: Any = None
 
     @nn.compact
     def __call__(self, inputs, pca=None):
@@ -96,15 +98,17 @@ class RegNet2D3D(nn.Module):
         for _ in range(self.inverse_iters):
             disp_inv = -resample.warp_image(disp, idm + disp_inv,
                                             zero_boundary=True,
-                                            scale_intensity=False)
+                                            scale_intensity=False,
+                                            mesh=self.mesh)
         phi = disp + idm
 
         moving_origin = inputs["original_source"]   # attenuation volume
         warped = resample.warp_image(moving_origin, phi, zero_boundary=True,
-                                     scale_intensity=False)
+                                     scale_intensity=False, mesh=self.mesh)
         warped_inv = resample.warp_image(warped, idm + disp_inv,
                                          zero_boundary=True,
-                                         scale_intensity=False)
+                                         scale_intensity=False,
+                                         mesh=self.mesh)
 
         # Re-projection for projection-domain losses (``:157-185``).
         Rx, Rz, dx = drr.forward_matrices(poses, img_sz, proj_shape, spacing)

@@ -285,7 +285,8 @@ def grid_sample_normalized(vol, grid, mode="bilinear", padding="zeros",
 
 
 def warp_image(image, phi, mode="bilinear", zero_boundary=True,
-               scale_intensity=True, taps_dtype=None):
+               scale_intensity=True, taps_dtype=None, mesh=None,
+               axis_name="data"):
     """Warp ``image`` by map ``phi`` — the reference's ``Bilinear`` transform
     (``net_utils.py:9-56``) with its channel flip already folded in.
 
@@ -296,7 +297,28 @@ def warp_image(image, phi, mode="bilinear", zero_boundary=True,
       zero_boundary: zeros padding if True else border (``net_utils.py:21``).
       scale_intensity: shift [-1,1] intensities to [0,1] around the warp
         (``net_utils.py:48-52``), so zeros padding maps to -1 background.
+      mesh: optional ``jax.sharding.Mesh`` with a sharded batch axis
+        ``axis_name``. The gather formulation folds the batch axis into a
+        flat buffer and unrolls per element — under GSPMD that turns every
+        per-element slice into a cross-device broadcast (volume-sized
+        all-reduces every step; tests/test_scaling_model.py). Wrapping the
+        warp in ``shard_map`` makes the unroll per-LOCAL-element: each chip
+        warps only its own batch shard, with zero collectives.
     """
+    if mesh is not None and mesh.devices.size > 1 \
+            and image.shape[0] % mesh.devices.size == 0:
+        from jax.sharding import PartitionSpec as _P
+        spec = _P(axis_name)
+
+        def _local(im, ph):
+            return warp_image(im, ph, mode=mode,
+                              zero_boundary=zero_boundary,
+                              scale_intensity=scale_intensity,
+                              taps_dtype=taps_dtype)
+
+        return jax.shard_map(_local, mesh=mesh, in_specs=(spec, spec),
+                             out_specs=spec)(image, phi)
+
     grid = jnp.moveaxis(phi, 1, -1)  # (B, D, W, H, 3)
     padding = "zeros" if zero_boundary else "border"
     if scale_intensity:

@@ -38,14 +38,27 @@ def replicated(mesh: Mesh):
     return NamedSharding(mesh, P())
 
 
+# Keys that are identical across the batch (the dataset shares one
+# poses.npy / one spacing per split). Replicating them matters: the models
+# build their backprojection grids from ``poses[0:1]`` (the reference's
+# cached-first-batch quirk), and if poses are sharded that slice lives on
+# device 0 only — XLA then broadcasts the derived volume-shaped grids over
+# ICI every step (~100 MB/step at 160^3 on an 8-mesh, observed as
+# (1,D,W,H,3) all-reduces in the compiled HLO; tests/test_scaling_model.py).
+# Replicated poses make the grid math device-local and free.
+_REPLICATED_KEYS = ("target_poses", "source_poses", "spacing")
+
+
 def shard_batch(batch: dict, mesh: Mesh, axis_name: str = "data"):
     """Device-put a host batch dict with the batch axis sharded. Arrays whose
     leading dim isn't divisible by the mesh (e.g. per-case poses shared
-    across the batch) are replicated."""
+    across the batch) and batch-constant keys (poses/spacing) are
+    replicated."""
     n = mesh.devices.size
     out = {}
     for k, v in batch.items():
-        if hasattr(v, "shape") and v.ndim > 0 and v.shape[0] % n == 0:
+        if (hasattr(v, "shape") and v.ndim > 0 and v.shape[0] % n == 0
+                and k not in _REPLICATED_KEYS):
             out[k] = jax.device_put(v, batch_sharding(mesh, axis_name))
         else:
             out[k] = jax.device_put(v, replicated(mesh))

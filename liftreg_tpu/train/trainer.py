@@ -205,6 +205,10 @@ class RegistrationTrainer(TrainerBase):
                 model_cls.__name__ != "RegNet2D3D":
             # fast-train mode: 1-gather bf16-tap warp (resample docstring)
             model_kwargs["warp_taps_dtype"] = jnp.bfloat16
+        if self.mesh.devices.size > 1:
+            # shard_map the warps so each chip warps only its own batch
+            # shard (resample.warp_image mesh docstring)
+            model_kwargs["mesh"] = self.mesh
         self.model = model_cls(**model_kwargs)
         pca_path = model_cfg.get("pca_path", "")
         pca_dtype = jnp.bfloat16 \
@@ -307,11 +311,17 @@ class RegistrationTrainer(TrainerBase):
 
     def _build_train_step(self):
         model, loss_obj = self.model, self.loss
+        target_b = self._target_b
 
-        def step(params, opt_state, batch, pca, reg_factor):
+        def step(params, opt_state, batch, pca, reg_factor, n_valid):
+            # zero-weight the pad rows (mesh.pad_batch repeats the final
+            # sample) so they carry no gradient; n_valid is a traced scalar
+            # so partial batches don't retrace
+            weights = (jnp.arange(target_b) < n_valid).astype(jnp.float32)
+
             def loss_fn(p):
                 out = model.apply(p, batch, pca)
-                losses = loss_obj(out, reg_factor)
+                losses = loss_obj(out, reg_factor, weights=weights)
                 return losses["total_loss"], losses
 
             (_, losses), grads = jax.value_and_grad(
@@ -325,6 +335,7 @@ class RegistrationTrainer(TrainerBase):
 
     def _build_eval_step(self):
         model = self.model
+        warp_mesh = self.mesh if self.mesh.devices.size > 1 else None
 
         def step(params, batch, pca):
             out = model.apply(params, batch, pca)
@@ -333,7 +344,8 @@ class RegistrationTrainer(TrainerBase):
             if "source_label" in batch:
                 res["warped_label"] = warp_image(
                     batch["source_label"], out["phi"], mode="nearest",
-                    zero_boundary=True, scale_intensity=False)
+                    zero_boundary=True, scale_intensity=False,
+                    mesh=warp_mesh)
             if "warped_proj" in out:
                 res["warped_proj"] = out["warped_proj"]
                 res["target_proj"] = out["target_proj"]
@@ -413,20 +425,35 @@ class RegistrationTrainer(TrainerBase):
         import threading
         self._heartbeat = time.monotonic()
         self._in_step = False
+        self._watch_scale = 1.0
 
         def watch():
             while True:
                 time.sleep(max(self.step_timeout_s / 4, 1.0))
+                budget = self.step_timeout_s * self._watch_scale
                 if self._in_step and (time.monotonic() - self._heartbeat
-                                      > self.step_timeout_s):
-                    print(f"WATCHDOG: device step exceeded "
-                          f"{self.step_timeout_s}s — likely a hung "
+                                      > budget):
+                    print(f"WATCHDOG: device call exceeded "
+                          f"{budget:.0f}s — likely a hung "
                           f"accelerator; exiting 42 (resume with "
                           f"--continue_from)", flush=True)
                     os._exit(42)
 
         threading.Thread(target=watch, daemon=True).start()
         self._watchdog_started = True
+
+    def _watch(self, scale=1.0):
+        """Arm the watchdog around a call that may block on the device.
+        ``scale`` multiplies ``step_timeout_s`` (e.g. a flush syncs up to
+        ``log_flush_steps`` steps of backlog; step 1 includes compile)."""
+        if self._watchdog_started:
+            self._watch_scale = scale
+            self._heartbeat = time.monotonic()
+            self._in_step = True
+
+    def _unwatch(self):
+        if self._watchdog_started:
+            self._in_step = False
 
     def step(self, batch, names):
         """One async train step. Loss scalars are NOT read back here: a
@@ -438,8 +465,14 @@ class RegistrationTrainer(TrainerBase):
         self._maybe_profile()
         reg_factor = jnp.float32(self.loss.factor(self.cur_epoch))
         self.iter_count += 1
+        # dispatch is async but CAN block (dead tunnel, first compile) —
+        # keep the watchdog armed across it, scaled for compile time on the
+        # first step
+        self._watch(scale=60.0 if self.iter_count == 1 else 1.0)
         self.params, self.opt_state, losses = self._train_step(
-            self.params, self.opt_state, batch, self.pca, reg_factor)
+            self.params, self.opt_state, batch, self.pca, reg_factor,
+            jnp.int32(len(names)))
+        self._unwatch()
         self._pending_losses.append((self.global_step["train"], losses))
         if len(self._pending_losses) >= self._loss_flush_steps:
             self._flush_losses()
@@ -449,12 +482,11 @@ class RegistrationTrainer(TrainerBase):
         """Read back and log buffered step losses (one host sync for all)."""
         if not self._pending_losses:
             return
-        if self._watchdog_started:
-            self._heartbeat = time.monotonic()
-            self._in_step = True
+        # the flush syncs the whole backlog: budget one step_timeout per
+        # pending step, not one for the batch (ADVICE round 2)
+        self._watch(scale=max(1.0, float(len(self._pending_losses))))
         host = jax.device_get([l for _, l in self._pending_losses])
-        if self._watchdog_started:
-            self._in_step = False
+        self._unwatch()
         now = time.perf_counter()
         per_step_ms = ((now - self._last_flush_t) * 1000.0
                        / len(self._pending_losses))
@@ -583,6 +615,9 @@ class RegistrationTrainer(TrainerBase):
                     self.save_model("", is_best=True)
                     best_metrics = {k: v / nb for k, v in running_m.items()}
 
+            # reset the flush timer so the first window's per-step time
+            # doesn't absorb init/compile or the val pass (ADVICE round 2)
+            self._last_flush_t = time.perf_counter()
             for batch, names in self._iter_device("train", epoch):
                 self.global_step["train"] += 1
                 self.step(batch, names)

@@ -45,6 +45,37 @@ def test_pad_batch_helper():
         mesh_lib.pad_batch(batch, 2)
 
 
+def test_pad_rows_carry_no_loss_weight():
+    """With a validity mask, a batch padded by repeating the final sample
+    produces the same loss as the unpadded batch (ADVICE round 2: the
+    repeated sample must not get extra gradient weight)."""
+    import jax.numpy as jnp
+
+    from liftreg_tpu.losses import SubspaceLoss
+
+    rng = np.random.default_rng(0)
+    b, pad_b, sz = 3, 8, 8
+    out = {
+        "warped": rng.normal(size=(b, 1, sz, sz, sz)).astype(np.float32),
+        "target": rng.normal(size=(b, 1, sz, sz, sz)).astype(np.float32),
+        "params": rng.normal(size=(b, 3, sz, sz, sz)).astype(np.float32),
+    }
+    padded = {k: np.concatenate(
+        [v] + [v[-1:]] * (pad_b - b), axis=0) for k, v in out.items()}
+    loss = SubspaceLoss({"sim_class": "ncc"})
+    weights = (jnp.arange(pad_b) < b).astype(jnp.float32)
+
+    ref = loss({k: jnp.asarray(v) for k, v in out.items()}, 0.5)
+    got = loss({k: jnp.asarray(v) for k, v in padded.items()}, 0.5,
+               weights=weights)
+    for k in ref:
+        np.testing.assert_allclose(float(got[k]), float(ref[k]), rtol=1e-5)
+    # and without the mask the padded loss is biased (sanity that the test
+    # actually discriminates)
+    biased = loss({k: jnp.asarray(v) for k, v in padded.items()}, 0.5)
+    assert abs(float(biased["total_loss"]) - float(ref["total_loss"])) > 1e-6
+
+
 def test_seven_samples_on_eight_device_mesh(synth7, tmp_path):
     import jax
 
