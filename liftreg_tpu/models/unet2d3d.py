@@ -35,6 +35,10 @@ class RegNet2D3D(nn.Module):
     project_chunk: int = 32
     #: optional jax.sharding.Mesh — shard_map the warps over its data axis
     mesh: Any = None
+    #: rematerialize the inverse-flow scan: True re-runs the loop in
+    #: backward (minimum HBM); False stores per-iteration residuals
+    #: (~GBs at 160^3 B=1) to skip the recompute
+    remat_inverse: bool = True
 
     @nn.compact
     def __call__(self, inputs, pca=None):
@@ -67,9 +71,12 @@ class RegNet2D3D(nn.Module):
         if self.compute_dtype is not None:
             x = x.astype(self.compute_dtype)
 
+        # rematerialized conv stages: backward recomputes activations
+        # instead of keeping every full-res feature map live (HBM for FLOPs)
+        RematConv = nn.remat(ConvBlock)
         skips = []
         for i, feats in enumerate(self.enc_filters):
-            x = ConvBlock(feats, stride=1 if i == 0 else 2,
+            x = RematConv(feats, stride=1 if i == 0 else 2,
                           dtype=self.compute_dtype)(x)
             skips.append(x)
 
@@ -79,12 +86,14 @@ class RegNet2D3D(nn.Module):
             vc = resample.resize_trilinear(vc, out_sp)
             return jnp.moveaxis(vc, 1, -1)
 
-        x = ConvBlock(self.dec_filters[0], dtype=self.compute_dtype)(skips[-1])
+        x = RematConv(self.dec_filters[0],
+                      dtype=self.compute_dtype)(skips[-1])
         for i, skip in enumerate(reversed(skips[:-1])):
             x = upsample(x)
             x = jnp.concatenate([x, skip], axis=-1)
-            x = ConvBlock(self.dec_filters[i + 1], dtype=self.compute_dtype)(x)
-        x = ConvBlock(self.dec_filters[5], dtype=self.compute_dtype)(x)
+            x = RematConv(self.dec_filters[i + 1],
+                          dtype=self.compute_dtype)(x)
+        x = RematConv(self.dec_filters[5], dtype=self.compute_dtype)(x)
 
         flow = nn.Conv(3, (3, 3, 3), padding=[(1, 1)] * 3,
                        kernel_init=nn.initializers.normal(stddev=0.001),
@@ -93,13 +102,23 @@ class RegNet2D3D(nn.Module):
         disp = jnp.moveaxis(flow, -1, 1).astype(jnp.float32)  # (B,3,D,W,H)
 
         idm = identity_map(img_sz)[None]
-        # Fixed-point inverse flow (``:144-147``).
-        disp_inv = jnp.zeros_like(disp)
-        for _ in range(self.inverse_iters):
-            disp_inv = -resample.warp_image(disp, idm + disp_inv,
-                                            zero_boundary=True,
-                                            scale_intensity=False,
-                                            mesh=self.mesh)
+
+        # Fixed-point inverse flow (``:144-147``) as a lax.scan: one warp
+        # graph traced once instead of ``inverse_iters`` unrolled copies
+        # (a 7x trace reduction — part of making 160^3 compile tractable,
+        # VERDICT r2 #4), rematerialized so backward re-runs the loop
+        # instead of storing 7 intermediate volumes.
+        def inv_step(disp_inv, _):
+            nxt = -resample.warp_image(disp, idm + disp_inv,
+                                       zero_boundary=True,
+                                       scale_intensity=False,
+                                       mesh=self.mesh)
+            return nxt, None
+
+        if self.remat_inverse:
+            inv_step = jax.checkpoint(inv_step)
+        disp_inv, _ = jax.lax.scan(inv_step, jnp.zeros_like(disp), None,
+                                   length=self.inverse_iters)
         phi = disp + idm
 
         moving_origin = inputs["original_source"]   # attenuation volume

@@ -343,19 +343,36 @@ def resize_nearest_2d(img, out_hw):
     return img[:, :, ih[:, None], iw[None, :]]
 
 
+def _interp_matrix(n_out, n_in, dtype):
+    """(n_out, n_in) align_corners=True linear-interpolation matrix: row i
+    holds the 2-tap weights ``relu(1 - |c_i - j|)`` at
+    ``c_i = i*(n_in-1)/(n_out-1)`` — the same formulation as the DRR
+    projector's tensor-product resampling (ops/drr.py, DESIGN.md section 1)."""
+    import numpy as np
+    c = (np.linspace(0.0, n_in - 1.0, n_out) if n_out > 1
+         else np.zeros((1,)))
+    w = np.maximum(0.0, 1.0 - np.abs(c[:, None] - np.arange(n_in)[None, :]))
+    return jnp.asarray(w, dtype)
+
+
 def resize_trilinear(vol, out_shape):
     """Trilinear resize with align_corners=True (torch ``F.interpolate``
     ``mode='trilinear', align_corners=True``; used by the U-Net decoder,
-    reference ``models/previous/RegNet2D3D.py:128-137``)."""
-    B, C = vol.shape[:2]
-    spatial = vol.shape[2:]
-    axes = []
-    for n_out, n_in in zip(out_shape, spatial):
-        if n_out == 1:
-            axes.append(jnp.zeros((n_out,), dtype=vol.dtype))
-        else:
-            axes.append(jnp.linspace(0.0, n_in - 1.0, n_out, dtype=vol.dtype))
-    grids = jnp.meshgrid(*axes, indexing="ij")
-    coords = jnp.stack(grids, axis=-1)[None]
-    coords = jnp.broadcast_to(coords, (B,) + coords.shape[1:])
-    return grid_sample(vol, coords, mode="bilinear", padding="border")
+    reference ``models/previous/RegNet2D3D.py:128-137``).
+
+    The resize grid is a tensor product, so this is three axis-wise 2-tap
+    interpolation matmuls on the MXU — not a gather. (The previous 8-corner
+    gather formulation also made the RegNet2D3D decoder's XLA trace so
+    large that 160^3 compiles took tens of minutes; VERDICT r2 #4.)
+    """
+    dtype = vol.dtype if jnp.issubdtype(vol.dtype, jnp.floating) \
+        else jnp.float32
+    out = vol.astype(dtype)
+    for axis, (n_out, n_in) in enumerate(zip(out_shape, vol.shape[2:])):
+        if n_out != n_in:
+            w = _interp_matrix(n_out, n_in, dtype)
+            out = jnp.moveaxis(
+                jnp.tensordot(w, out, axes=[[1], [2 + axis]],
+                              precision=jax.lax.Precision.HIGHEST),
+                0, 2 + axis)
+    return out

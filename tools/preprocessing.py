@@ -69,7 +69,12 @@ def read_dct_data_list(data_folder_path):
     return cases
 
 
-def preprocess(data_folder_path, preprocessed_path, file_type, case_num=200):
+def preprocess(data_folder_path, preprocessed_path, file_type, case_num=200,
+               target_size=(160, 160, 160), target_spacing=(2.2, 2.2, 2.2),
+               shape_override=None, spacing_override=None):
+    """``shape_override``/``spacing_override`` replace the public DirLab
+    per-case tables for every case (raw z,y,x shape / z,y,x spacing in mm) —
+    used for non-DirLab raw layouts and small-scale rehearsals."""
     if not os.path.exists(data_folder_path):
         print(f"Did not find data list file at {data_folder_path}")
         return []
@@ -88,11 +93,15 @@ def preprocess(data_folder_path, preprocessed_path, file_type, case_num=200):
         cid = case["id"]
         ids.append(cid)
         print(f"Preprocessing {i}/{len(file_list)} {cid}")
-        spacing = np.flipud(spacing_tab[cid])
-        shape = shape_tab[cid]
+        spacing = (np.asarray(spacing_override, np.float64)
+                   if spacing_override is not None
+                   else np.flipud(spacing_tab[cid]))
+        shape = (list(shape_override) if shape_override is not None
+                 else shape_tab[cid])
         src, tgt, src_seg, tgt_seg, origin, new_spacing = process_case(
             case["source"], case["target"], shape, spacing,
-            target_size=(160, 160, 160), target_spacing=(2.2, 2.2, 2.2),
+            target_size=tuple(target_size),
+            target_spacing=tuple(target_spacing),
             seg_bg=True)
         np.save(os.path.join(preprocessed_path, f"{cid}_source.npy"), src)
         np.save(os.path.join(preprocessed_path, f"{cid}_target.npy"), tgt)
