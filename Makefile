@@ -1,9 +1,17 @@
 # Developer conveniences.
 
-.PHONY: test bench native dryrun clean
+.PHONY: test test-fast test-slow bench native dryrun clean
 
 test:
 	python -m pytest tests/ -x -q
+
+# golden/unit tests only (~minutes); the 17 e2e trainer/workflow tests are
+# marked slow and run with `make test-slow`
+test-fast:
+	python -m pytest tests/ -m "not slow" -x -q
+
+test-slow:
+	python -m pytest tests/ -m slow -x -q
 
 bench:
 	python bench.py

@@ -11,8 +11,11 @@ import os
 import sys
 
 import numpy as np
+import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+pytestmark = pytest.mark.slow
 
 from tests.test_preprocessing_cli import make_raw_case  # noqa: E402
 

@@ -1,6 +1,9 @@
 """Regression test: the training machinery actually learns (loss descends
 on a small overfit problem). Catches broken gradients / optimizer wiring."""
 import numpy as np
+import pytest
+
+pytestmark = pytest.mark.slow
 
 import jax
 import jax.numpy as jnp

@@ -3,6 +3,8 @@ step, batch sharded over the 8-device mesh (v5e-8 shape, virtual here)."""
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 import jax
 import jax.numpy as jnp
 import optax

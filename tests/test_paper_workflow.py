@@ -19,6 +19,8 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+pytestmark = pytest.mark.slow
+
 from tests.test_train_e2e import make_setting  # noqa: E402
 
 

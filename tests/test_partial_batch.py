@@ -14,6 +14,8 @@ import pytest
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+pytestmark = pytest.mark.slow
+
 from tests.test_train_e2e import make_setting  # noqa: E402
 
 
@@ -98,9 +100,17 @@ def test_seven_samples_on_eight_device_mesh(synth7, tmp_path):
     # every train/val batch must be sharded on the mesh, never replicated
     orig_set_input = trainer.set_input
 
+    from liftreg_tpu.parallel.mesh import _REPLICATED_KEYS
+
     def checked_set_input(data, epoch):
         batch, names = orig_set_input(data, epoch)
         for k, v in batch.items():
+            if k in _REPLICATED_KEYS:
+                # batch-constant keys replicate by design (poses/spacing):
+                # sharding them forces volume-shaped collectives
+                # (tests/test_scaling_model.py)
+                assert v.sharding.is_fully_replicated, f"{k} not replicated"
+                continue
             assert v.shape[0] % 8 == 0, (k, v.shape)
             shards = {s.device for s in v.addressable_shards}
             assert len(shards) == 8, f"{k} not spread over the mesh"
