@@ -105,14 +105,23 @@ def gradient_loss(x, y):
 
 
 def _box_sum(x, win):
-    """Separable box-filter sum over the spatial dims of (B, C, D, W, H)."""
+    """Separable box-filter sum over the spatial dims of (B, C, D, W, H).
+
+    ``precision=HIGHEST`` is load-bearing: XLA truncates f32 conv inputs to
+    bf16 by default, and the downstream variance terms are ~3-decimal-digit
+    cancellations (``si2 - si^2/n`` over ``win^3`` voxels) — with truncated
+    sums they come out with O(0.3) error and go negative, which made
+    ``cc = cross^2/(var_i*var_j + eps)`` explode past 1 and diverge LNCC
+    training on TPU (round 3; CPU tests never see it because CPU convs stay
+    f32)."""
     for axis in (2, 3, 4):
         kshape = [1, 1, 1]
         kshape[axis - 2] = win
         kernel = jnp.ones((1, 1, *kshape), dtype=x.dtype)
         x = jax.lax.conv_general_dilated(
             x, kernel, window_strides=(1, 1, 1), padding="SAME",
-            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"))
+            dimension_numbers=("NCDHW", "OIDHW", "NCDHW"),
+            precision=jax.lax.Precision.HIGHEST)
     return x
 
 
@@ -125,8 +134,10 @@ def lncc_loss(pred, target, win=9, eps=1e-5, weights=None):
     si2, sj2, sij = _box_sum(i2, win), _box_sum(j2, win), _box_sum(ij, win)
     mu_i, mu_j = si / n, sj / n
     cross = sij - mu_j * si - mu_i * sj + mu_i * mu_j * n
-    var_i = si2 - 2 * mu_i * si + mu_i * mu_i * n
-    var_j = sj2 - 2 * mu_j * sj + mu_j * mu_j * n
+    # clamp the residual f32 cancellation noise: true variances are >= 0,
+    # and cc must stay <= 1 even where a window is near-constant
+    var_i = jnp.maximum(si2 - 2 * mu_i * si + mu_i * mu_i * n, 0.0)
+    var_j = jnp.maximum(sj2 - 2 * mu_j * sj + mu_j * mu_j * n, 0.0)
     cc = (cross * cross) / (var_i * var_j + eps)
     per_sample = jnp.mean(cc.reshape(cc.shape[0], -1), axis=1)
     return 1.0 - _batch_mean(per_sample, weights)

@@ -75,3 +75,21 @@ def test_lncc_matches_perfect_and_shifted():
     assert float(lncc_loss(x, x, win=5)) < 0.05
     y = jnp.asarray(rng.normal(size=(1, 1, 12, 12, 12)).astype(np.float32))
     assert float(lncc_loss(x, y, win=5)) > 0.5
+
+
+def test_lncc_bounded_on_near_constant_volumes():
+    """The variance terms are ~3-digit cancellations; on near-constant
+    windows they can come out slightly negative and (before the round-3
+    clamp) drove cc^2 far past 1 — diverging LNCC training on TPU, where
+    default-precision convs also truncate the inputs to bf16. The loss must
+    stay in [0, 1] for any inputs."""
+    rng = np.random.default_rng(2)
+    # piecewise-constant "air" background with a small structured insert,
+    # like a masked CT: most windows near-zero variance
+    x = np.full((1, 1, 24, 24, 24), -1.0, np.float32)
+    y = np.full((1, 1, 24, 24, 24), -1.0, np.float32)
+    x[0, 0, 8:16, 8:16, 8:16] = rng.normal(size=(8, 8, 8)).astype(np.float32)
+    y[0, 0, 8:16, 8:16, 8:16] = rng.normal(size=(8, 8, 8)).astype(np.float32)
+    for a, b in [(x, x), (x, y)]:
+        v = float(lncc_loss(jnp.asarray(a), jnp.asarray(b), win=9))
+        assert 0.0 <= v <= 1.0 + 1e-4, v
