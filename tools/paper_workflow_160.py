@@ -33,9 +33,19 @@ from liftreg_tpu.utils.tre import eval_copd_highres
 _ap = argparse.ArgumentParser()
 _ap.add_argument("--data", default="/root/demo_data")
 _ap.add_argument("--out", default="/root/paper160")
+# basis quality tracks dense-model quality: 1 epoch (~48 min on one v5e
+# chip) proves the pipeline; raise for a basis good enough to beat the
+# analytic one (DEMO.md "Paper workflow at production scale")
+_ap.add_argument("--stage1_epochs", type=int, default=1)
+_ap.add_argument("--stage3_epochs", type=int, default=40)
+# production scale is 160; smaller sizes give a fast full-chain smoke run
+# against a matching `make_synthetic_dataset.py --size N` dataset
+_ap.add_argument("--size", type=int, default=160)
+_ap.add_argument("--latent", type=int, default=24)
 _args = _ap.parse_args()
 DATA = _args.data
 OUT = _args.out
+SIZE = _args.size
 os.makedirs(OUT, exist_ok=True)
 
 def base_setting(exp, epochs):
@@ -43,7 +53,7 @@ def base_setting(exp, epochs):
         "dataset": {
             "apply_hu_clip": True, "data_path": DATA,
             "dataset_class": "registration2d3d", "drr_folder_name": "drr",
-            "img_after_resize": [160, 160, 160],
+            "img_after_resize": [SIZE, SIZE, SIZE],
             "load_projection_interval": 1,
             "max_num_for_loading": [40, 4, 4, 4],
             "spacing_to_refer": [2.2, 2.2, 2.2],
@@ -56,7 +66,7 @@ def base_setting(exp, epochs):
             "loss": {"initial_reg_factor": 0.1, "min_reg_factor": 1e-3,
                      "reg_factor_decay_from": 10, "sim_class": "ncc"},
             "loss_class": "subspace", "mode": "train",
-            "model": {"drr_feature_num": 4, "latent_dim": 24,
+            "model": {"drr_feature_num": 4, "latent_dim": _args.latent,
                       "pca_path": ""},
             "model_class": "subspace_backproj",
             "optim": {"adam": {"beta": [0.9, 0.999]}, "lr": 1e-3,
@@ -74,7 +84,7 @@ t0 = time.time()
 # ---- stage 1: dense RegNet2D3D, 2 epochs -----------------------------
 exp_rn = os.path.join(OUT, "exp_regnet")
 os.makedirs(exp_rn, exist_ok=True)
-s1 = base_setting(exp_rn, epochs=1)
+s1 = base_setting(exp_rn, epochs=_args.stage1_epochs)
 s1["dataset"]["dataset_class"] = "registration2d3d_projloss"
 s1["dataset"]["apply_hu_clip"] = False
 s1["train"]["model_class"] = "regnet2d3d"
@@ -93,7 +103,8 @@ t1 = time.time()
 X = disp_from_experiment(DATA, os.path.join(exp_rn, "cur_task_setting.json"),
                          phase="train")
 print("fields:", X.shape, flush=True)
-latent = 24
+# PCA components cannot exceed the number of training fields
+latent = min(_args.latent, X.shape[0])
 vectors, mean = pca_lib.fit_pca(X, latent)
 pca_dir = os.path.join(OUT, "pca_from_regnet")
 pca_lib.save_pca(pca_dir, vectors, mean)
@@ -105,7 +116,8 @@ print(f"STAGE2 pca done, explained variance {ratio:.3f}, "
 t2 = time.time()
 exp_ss = os.path.join(OUT, "exp_subspace")
 os.makedirs(exp_ss, exist_ok=True)
-s3 = base_setting(exp_ss, epochs=40)
+s3 = base_setting(exp_ss, epochs=_args.stage3_epochs)
+s3["train"]["model"]["latent_dim"] = latent  # clamped to the basis size
 s3["train"]["model"]["pca_path"] = pca_dir
 s3["train"]["model"]["pca_dtype"] = "bfloat16"
 s3["train"]["model"]["warp_taps_dtype"] = "bfloat16"
@@ -120,5 +132,5 @@ s3["train"]["test_from"] = os.path.join(exp_ss, "checkpoints",
                                         "model_best.ckpt")
 s3["train"]["save_3d_img"] = True
 RegistrationTrainer(s3).run()
-results = eval_copd_highres(DATA, exp_ss, dim=(160, 160, 160))
+results = eval_copd_highres(DATA, exp_ss, dim=(SIZE, SIZE, SIZE))
 print("PAPER160 COMPLETE", round(time.time()-t0,1), "s total", flush=True)
