@@ -16,6 +16,7 @@ passed into the jitted loss as a scalar operand, so no retracing occurs.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from typing import Callable
 
 import jax.numpy as jnp
@@ -72,6 +73,11 @@ class SubspaceLoss:
     def __init__(self, opt=None):
         opt = opt or {}
         self.sim = get_similarity(opt.get("sim_class", "ncc"))
+        # optional kwargs forwarded to the similarity fn (e.g. lncc's
+        # ``win`` / ``smooth``); absent -> exact reference behavior
+        sim_opts = dict(opt.get("sim_opts", {}) or {})
+        if sim_opts:
+            self.sim = functools.partial(self.sim, **sim_opts)
         self.reg_factor = RegFactorSchedule(
             initial=float(opt.get("initial_reg_factor", 10)),
             minimum=float(opt.get("min_reg_factor", 1e-3)),

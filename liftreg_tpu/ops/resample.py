@@ -202,6 +202,10 @@ def grid_sample(vol, coords, mode="bilinear", padding="zeros",
     assert coords.shape[-1] == ndim, (coords.shape, vol.shape)
     B, C = vol.shape[:2]
     out_shape = coords.shape[1:-1]
+    if taps_dtype is not None:
+        # canonicalize so the string form ("bfloat16", e.g. straight from a
+        # JSON config) selects the same path as jnp.bfloat16
+        taps_dtype = jnp.dtype(taps_dtype)
 
     if ndim == 3 and mode == "bilinear" and spatial[-1] >= 2 \
             and spatial[-2] >= 2:

@@ -118,3 +118,42 @@ def test_subspace_loss_combines():
     want = float(losses.ncc_loss(out["warped"], out["target"])) + \
         0.01 * float(losses.displacement_reg(out["params"]))
     assert float(res["total_loss"]) == pytest.approx(want, rel=1e-6)
+
+
+def test_lncc_smooth_preserves_constants_and_descends():
+    """smooth= pre-filter: exact boundary normalization + plumbing.
+
+    The triangle pre-filter must preserve a constant image exactly
+    (including boundary voxels, where a naive SAME-padded box sum
+    attenuates), and smooth=0 must be byte-identical to the default path.
+    """
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(1, 1, 9, 9, 9)).astype(np.float32)
+    # constant preservation (exact per-voxel weights)
+    const = jnp.full((1, 1, 9, 9, 9), 3.25, jnp.float32)
+    sm = losses.similarity._smooth_triangle(const, 3)
+    np.testing.assert_allclose(np.asarray(sm), 3.25, rtol=1e-6)
+    # smooth=0 is the default path
+    a = float(losses.lncc_loss(jnp.asarray(x), jnp.asarray(x), smooth=0))
+    b = float(losses.lncc_loss(jnp.asarray(x), jnp.asarray(x)))
+    assert a == b
+    # smoothing both images keeps self-similarity near the floor
+    c = float(losses.lncc_loss(jnp.asarray(x), jnp.asarray(x), smooth=3))
+    assert np.isfinite(c) and 0.0 <= c <= 1.0
+
+
+def test_sim_opts_plumbs_kwargs_into_similarity():
+    from liftreg_tpu.losses.registration import SubspaceLoss
+    rng = np.random.default_rng(8)
+    out = {
+        "warped": jnp.asarray(rng.normal(size=(2, 1, 8, 8, 8)).astype(np.float32)),
+        "target": jnp.asarray(rng.normal(size=(2, 1, 8, 8, 8)).astype(np.float32)),
+        "params": jnp.asarray(rng.normal(size=(2, 3, 8, 8, 8)).astype(np.float32)),
+    }
+    base = SubspaceLoss({"sim_class": "lncc"})
+    opted = SubspaceLoss({"sim_class": "lncc", "sim_opts": {"win": 5, "smooth": 3}})
+    v0 = float(base(out, 0.0)["sim_loss"])
+    v1 = float(opted(out, 0.0)["sim_loss"])
+    want = float(losses.lncc_loss(out["warped"], out["target"], win=5, smooth=3))
+    assert v1 == pytest.approx(want, rel=1e-6)
+    assert v0 != pytest.approx(v1, rel=1e-4)
