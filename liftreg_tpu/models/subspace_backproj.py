@@ -96,6 +96,12 @@ class LiftRegSubspaceBackproj(nn.Module):
     #: optional jax.sharding.Mesh — shard_map the warp over its data axis
     #: so each chip warps only its own batch shard (resample.warp_image).
     mesh: Any = None
+    #: False computes sim on the raw (unmasked) CT pair: windowed
+    #: similarities (LNCC) get body-scale boundary signal in every window
+    #: instead of the lung-masked pair's flat background (DESIGN.md "LNCC
+    #: at production scale"). True = reference behavior
+    #: (``LiftRegDeformSubspaceBackproj.py:59-64``).
+    mask_ct: bool = True
 
     def setup(self):
         self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
@@ -118,7 +124,7 @@ class LiftRegSubspaceBackproj(nn.Module):
         poses = inputs["target_poses"]       # (B, P, 3) or (P, 3)
         if poses.ndim == 3:
             poses = poses[0]
-        if "source_label" in inputs:
+        if self.mask_ct and "source_label" in inputs:
             moving_cp = mask_lung(moving, inputs["source_label"])
             target_cp = mask_lung(target, inputs["target_label"])
         else:

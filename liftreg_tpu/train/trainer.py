@@ -205,6 +205,10 @@ class RegistrationTrainer(TrainerBase):
                 model_cls.__name__ != "RegNet2D3D":
             # fast-train mode: 1-gather bf16-tap warp (resample docstring)
             model_kwargs["warp_taps_dtype"] = jnp.bfloat16
+        if "mask_ct" in model_cfg and \
+                model_cls.__name__ == "LiftRegSubspaceBackproj":
+            # sim on raw vs lung-masked CT (model docstring; LNCC configs)
+            model_kwargs["mask_ct"] = bool(model_cfg["mask_ct"])
         if self.mesh.devices.size > 1:
             # shard_map the warps so each chip warps only its own batch
             # shard (resample.warp_image mesh docstring)

@@ -121,3 +121,22 @@ def test_encoder_fc_sizes_match_reference_at_160():
     in_dims = sorted(k.shape[0] for k in fc_kernels)
     assert 32 * (sz // 32) ** 3 in in_dims
     assert 800 in in_dims and 256 in in_dims
+
+
+def test_backproj_mask_ct_off_uses_raw_pair():
+    """mask_ct=False: sim inputs are the raw CT pair (model docstring)."""
+    rng = np.random.default_rng(3)
+    sz, latent = 16, 4
+    inputs = make_inputs(rng, B=1, sz=sz, proj=24)
+    pca = make_pca(rng, latent, sz)
+    model = LiftRegSubspaceBackproj(img_sz=(sz, sz, sz), latent_dim=latent,
+                                    mask_ct=False)
+    params = model.init(jax.random.PRNGKey(0), inputs, pca)
+    out = model.apply(params, inputs, pca)
+    # target passes through unmasked; warped comes from the raw moving image
+    np.testing.assert_array_equal(np.asarray(out["target"]),
+                                  np.asarray(inputs["target"]))
+    masked = LiftRegSubspaceBackproj(img_sz=(sz, sz, sz), latent_dim=latent)
+    out_m = masked.apply(params, inputs, pca)
+    assert not np.allclose(np.asarray(out["warped"]),
+                           np.asarray(out_m["warped"]))

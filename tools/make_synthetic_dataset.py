@@ -39,7 +39,22 @@ def smooth_noise(rng, shape, scale, smooth=4):
     return out * scale
 
 
-def make_phantom(rng, sz):
+def broadband_noise(rng, shape, scale):
+    """Multi-octave (1/f-ish) field: equal-energy octaves at 2–16 voxels.
+
+    The single-octave ``smooth_noise`` texture is band-limited at ~4
+    voxels, which makes windowed-correlation (LNCC) training ill-posed:
+    every sub-voxel warp step blurs the whole band in phase (DESIGN.md
+    "LNCC at production scale"). Real lung CT has vasculature across
+    scales; summing octaves restores that broadband structure so local
+    windows carry organ-scale signal as well as fine detail."""
+    out = np.zeros(shape, np.float32)
+    for s, a in ((2, 0.5), (4, 0.35), (8, 0.25), (16, 0.18)):
+        out += smooth_noise(rng, shape, a, smooth=s)
+    return out * scale
+
+
+def make_phantom(rng, sz, texture="banded"):
     """Lung-like CT phantom in HU, SAR orientation, (D, W, H)."""
     D = W = H = sz
     zz, yy, xx = np.mgrid[0:D, 0:W, 0:H].astype(np.float32)
@@ -53,7 +68,9 @@ def make_phantom(rng, sz):
         lc = cx + np.array([0, -0.05 * sz, side * 0.17 * sz])
         lung = (((zz - lc[0]) / (0.28 * sz)) ** 2 + ((yy - lc[1]) / (0.2 * sz)) ** 2
                 + ((xx - lc[2]) / (0.13 * sz)) ** 2) < 1.0
-        ct[lung] = -850.0 + 60 * smooth_noise(rng, ct.shape, 1.0)[lung]
+        tex = (broadband_noise(rng, ct.shape, 1.0) if texture == "broadband"
+               else smooth_noise(rng, ct.shape, 1.0))
+        ct[lung] = -850.0 + 60 * tex[lung]
         seg[lung] = 1.0
     return ct, seg
 
@@ -89,7 +106,8 @@ class LowRankDeformationModel:
 
 
 def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
-             scan_range=30.0, latent=8, seed=0, deformation_rank=0):
+             scan_range=30.0, latent=8, seed=0, deformation_rank=0,
+             texture="banded"):
     """``deformation_rank > 0`` draws every case's deformation from a shared
     ``deformation_rank``-dimensional smooth subspace (the setting the
     method is designed for); 0 keeps fully independent random fields."""
@@ -117,7 +135,7 @@ def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
             cid = f"syn{counter:03d}"
             counter += 1
             ids.append(cid)
-            ct, seg = make_phantom(rng, sz)
+            ct, seg = make_phantom(rng, sz, texture=texture)
             disp = (deform_model.sample(rng) if deform_model is not None
                     else random_disp(rng, sz))
             phi = jnp.asarray(idm + disp)[None]
@@ -209,7 +227,12 @@ if __name__ == "__main__":
     ap.add_argument("--deformation_rank", type=int, default=0,
                     help="draw deformations from a shared low-rank smooth "
                          "subspace (0 = independent fields)")
+    ap.add_argument("--texture", choices=("banded", "broadband"),
+                    default="banded",
+                    help="lung texture: single 4-voxel octave (banded, the "
+                         "round-2 default) or multi-octave 2-16 voxel "
+                         "(broadband; LNCC-trainable, see DESIGN.md)")
     a = ap.parse_args()
     generate(a.out, a.n_train, a.n_val, a.n_test, a.size, a.n_proj,
              latent=a.latent, seed=a.seed,
-             deformation_rank=a.deformation_rank)
+             deformation_rank=a.deformation_rank, texture=a.texture)
