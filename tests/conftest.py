@@ -11,6 +11,20 @@ import os
 # LIFTREG_ONCHIP_TESTS=1 keeps the ambient (TPU) platform
 if os.environ.get("LIFTREG_ONCHIP_TESTS") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
+    # Drop the TPU-plugin site dir entirely: even with JAX_PLATFORMS=cpu,
+    # jax initializes discovered PJRT plugins, and a dead device tunnel
+    # makes that init hang forever (observed: relay daemon death blocked
+    # every CPU run until the plugin was stripped). Path-component match,
+    # not substring.
+    import sys
+    for _var in ("PYTHONPATH",):
+        _parts = [p for p in os.environ.get(_var, "").split(os.pathsep)
+                  if p and not any(c in (".axon_site", "axon_site")
+                                   for c in p.split(os.sep))]
+        os.environ[_var] = os.pathsep.join(_parts)
+    sys.path[:] = [p for p in sys.path
+                   if not any(c in (".axon_site", "axon_site")
+                              for c in p.split(os.sep))]
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
