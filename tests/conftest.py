@@ -11,11 +11,13 @@ import os
 # LIFTREG_ONCHIP_TESTS=1 keeps the ambient (TPU) platform
 if os.environ.get("LIFTREG_ONCHIP_TESTS") != "1":
     os.environ["JAX_PLATFORMS"] = "cpu"
-    # Drop the TPU-plugin site dir entirely: even with JAX_PLATFORMS=cpu,
-    # jax initializes discovered PJRT plugins, and a dead device tunnel
-    # makes that init hang forever (observed: relay daemon death blocked
-    # every CPU run until the plugin was stripped). Path-component match,
-    # not substring.
+    # Strip the TPU-plugin site dir from the env so SUBPROCESSES spawned by
+    # tests (preprocessing/DRR/e2e CLIs) can't load it. The plugin ships a
+    # sitecustomize.py that registers itself at every interpreter start, and
+    # with the device tunnel dead that registration makes jax hang at
+    # backend init — the JAX_PLATFORMS=cpu env var alone does NOT prevent
+    # it (measured; only jax.config.update after import, or an absent
+    # plugin, does). Path-component match, not substring.
     import sys
     for _var in ("PYTHONPATH",):
         _parts = [p for p in os.environ.get(_var, "").split(os.pathsep)
@@ -25,6 +27,8 @@ if os.environ.get("LIFTREG_ONCHIP_TESTS") != "1":
     sys.path[:] = [p for p in sys.path
                    if not any(c in (".axon_site", "axon_site")
                               for c in p.split(os.sep))]
+    # (in THIS process the load-bearing line is the jax.config.update
+    # below — sitecustomize already ran before conftest was imported)
 flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
