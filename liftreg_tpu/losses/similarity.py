@@ -128,8 +128,15 @@ def _box_sum(x, win):
 def _smooth_triangle(x, k):
     """Normalized separable triangle pre-filter (two ``k``-box passes with
     exact per-voxel weights, so constants — including boundary voxels — are
-    preserved). x: (B, C, D, W, H), odd ``k``."""
+    preserved). x: (B, C, D, W, H).
+
+    ``k`` must be an odd int >= 1: XLA's SAME padding and numpy's
+    'same' convolution center even kernels differently, so an even ``k``
+    would mis-normalize by up to two orders of magnitude."""
     import numpy as np
+    if k != int(k) or int(k) < 1 or int(k) % 2 == 0:
+        raise ValueError(f"smooth must be an odd integer >= 1, got {k!r}")
+    k = int(k)
     num = _box_sum(_box_sum(x, k), k)
     den = 1.0
     for axis in (2, 3, 4):
@@ -145,8 +152,9 @@ def _smooth_triangle(x, k):
 def lncc_loss(pred, target, win=9, eps=1e-5, weights=None, smooth=0):
     """Local NCC over ``win``-cubed windows, 1 - mean(cc^2).
 
-    ``smooth``: optional triangle pre-filter half-width applied to BOTH
-    images before the windowed correlation. Windowed CC of a band-limited
+    ``smooth``: optional pre-filter applied to BOTH images before the
+    windowed correlation — an odd box width ``k`` used twice (triangle
+    support ``2k-1`` voxels); 0 disables. Windowed CC of a band-limited
     texture has a coherent sub-voxel pathology at 160^3: near the
     grid-aligned identity every trilinear sample de-sharpens in phase, so
     the exact gradient points back toward zero displacement even though the

@@ -28,6 +28,9 @@ class LiftRegSubspace(nn.Module):
     warp_taps_dtype: Any = None
     #: optional jax.sharding.Mesh — shard_map the warp over its data axis
     mesh: Any = None
+    #: False computes sim on the raw (unmasked) CT pair — same semantics
+    #: as LiftRegSubspaceBackproj.mask_ct
+    mask_ct: bool = True
 
     def setup(self):
         self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
@@ -37,7 +40,7 @@ class LiftRegSubspace(nn.Module):
         moving = inputs["source"]
         target = inputs["target"]
         target_proj = inputs["target_proj"]
-        if "source_label" in inputs:
+        if self.mask_ct and "source_label" in inputs:
             moving_cp = mask_lung(moving, inputs["source_label"])
             target_cp = mask_lung(target, inputs["target_label"])
         else:

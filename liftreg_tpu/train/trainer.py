@@ -206,9 +206,14 @@ class RegistrationTrainer(TrainerBase):
             # fast-train mode: 1-gather bf16-tap warp (resample docstring)
             model_kwargs["warp_taps_dtype"] = jnp.bfloat16
         if "mask_ct" in model_cfg and \
-                model_cls.__name__ == "LiftRegSubspaceBackproj":
-            # sim on raw vs lung-masked CT (model docstring; LNCC configs)
-            model_kwargs["mask_ct"] = bool(model_cfg["mask_ct"])
+                model_cls.__name__ != "RegNet2D3D":
+            # sim on raw vs lung-masked CT (model docstring; LNCC configs).
+            # Tolerate stringified configs: "false"/"0"/"no" mean False
+            # (bool("false") would silently invert the user's intent).
+            raw = model_cfg["mask_ct"]
+            model_kwargs["mask_ct"] = (raw if isinstance(raw, bool) else
+                                       str(raw).lower() not in
+                                       ("false", "0", "no"))
         if self.mesh.devices.size > 1:
             # shard_map the warps so each chip warps only its own batch
             # shard (resample.warp_image mesh docstring)

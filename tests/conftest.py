@@ -19,11 +19,13 @@ if os.environ.get("LIFTREG_ONCHIP_TESTS") != "1":
     # it (measured; only jax.config.update after import, or an absent
     # plugin, does). Path-component match, not substring.
     import sys
-    for _var in ("PYTHONPATH",):
-        _parts = [p for p in os.environ.get(_var, "").split(os.pathsep)
-                  if p and not any(c in (".axon_site", "axon_site")
-                                   for c in p.split(os.sep))]
-        os.environ[_var] = os.pathsep.join(_parts)
+    if "PYTHONPATH" in os.environ:
+        # keep empty components (they mean "cwd" in PYTHONPATH semantics);
+        # drop only the plugin's own dir
+        _parts = [p for p in os.environ["PYTHONPATH"].split(os.pathsep)
+                  if not any(c in (".axon_site", "axon_site")
+                             for c in p.split(os.sep))]
+        os.environ["PYTHONPATH"] = os.pathsep.join(_parts)
     sys.path[:] = [p for p in sys.path
                    if not any(c in (".axon_site", "axon_site")
                               for c in p.split(os.sep))]

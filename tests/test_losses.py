@@ -157,3 +157,10 @@ def test_sim_opts_plumbs_kwargs_into_similarity():
     want = float(losses.lncc_loss(out["warped"], out["target"], win=5, smooth=3))
     assert v1 == pytest.approx(want, rel=1e-6)
     assert v0 != pytest.approx(v1, rel=1e-4)
+
+
+def test_lncc_smooth_rejects_even_and_fractional_widths():
+    x = jnp.zeros((1, 1, 8, 8, 8), jnp.float32)
+    for bad in (2, 4, 2.5, 0.5, -3):
+        with pytest.raises(ValueError):
+            losses.lncc_loss(x, x, smooth=bad)

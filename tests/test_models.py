@@ -140,3 +140,17 @@ def test_backproj_mask_ct_off_uses_raw_pair():
     out_m = masked.apply(params, inputs, pca)
     assert not np.allclose(np.asarray(out["warped"]),
                            np.asarray(out_m["warped"]))
+
+
+def test_subspace_ablation_mask_ct_off():
+    """mask_ct=False on the no-backprojection ablation model too."""
+    rng = np.random.default_rng(4)
+    sz, latent = 16, 4
+    inputs = make_inputs(rng, B=1, sz=sz, proj=24)
+    pca = make_pca(rng, latent, sz)
+    model = LiftRegSubspace(img_sz=(sz, sz, sz), latent_dim=latent,
+                            mask_ct=False)
+    params = model.init(jax.random.PRNGKey(0), inputs, pca)
+    out = model.apply(params, inputs, pca)
+    np.testing.assert_array_equal(np.asarray(out["target"]),
+                                  np.asarray(inputs["target"]))

@@ -40,17 +40,21 @@ def smooth_noise(rng, shape, scale, smooth=4):
 
 
 def broadband_noise(rng, shape, scale):
-    """Multi-octave (1/f-ish) field: equal-energy octaves at 2–16 voxels.
+    """Multi-octave (1/f-weighted) field over 2–16 voxel octaves,
+    normalized to ~unit std so ``--texture`` settings are
+    amplitude-comparable.
 
     The single-octave ``smooth_noise`` texture is band-limited at ~4
     voxels, which makes windowed-correlation (LNCC) training ill-posed:
     every sub-voxel warp step blurs the whole band in phase (DESIGN.md
     "LNCC at production scale"). Real lung CT has vasculature across
-    scales; summing octaves restores that broadband structure so local
-    windows carry organ-scale signal as well as fine detail."""
+    scales; summing octaves (amplitudes falling ~1/f, like real texture
+    spectra) restores that broadband structure so local windows carry
+    organ-scale signal as well as fine detail."""
     out = np.zeros(shape, np.float32)
     for s, a in ((2, 0.5), (4, 0.35), (8, 0.25), (16, 0.18)):
         out += smooth_noise(rng, shape, a, smooth=s)
+    out /= max(float(out.std()), 1e-6)
     return out * scale
 
 
