@@ -15,6 +15,9 @@ stage 1 = 2901 s (1 epoch, B=1), stage 2 = 504 s (explained variance
 0.919 at latent 24), stage 3 = 656 s (40 epochs) + 77 s test.
 
 Usage: python tools/paper_workflow_160.py [--data DIR] [--out DIR]
+       [--size N] [--stage1_epochs N] [--stage3_epochs N] [--latent K]
+(--size 32 against a matching synthetic dataset gives a ~2.5 min
+full-chain smoke run on CPU)
 """
 import argparse, json, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
