@@ -45,11 +45,24 @@ def _emit(value, vs_baseline, extra=None):
     sys.stdout.flush()
 
 
+_watchdog_timer = [None]
+
+
 def _watchdog(stage, seconds):
-    """Arm SIGALRM: if `stage` exceeds `seconds` (e.g. jax blocked on a
-    degraded device tunnel), emit the best measurement completed so far
-    (round-1 failure mode: rc=124, parsed=null; round-2: value 0.0)."""
-    def _fire(signum, frame):
+    """Arm a timeout for `stage`: emit the best measurement completed so
+    far and exit instead of hanging (round-1 failure mode: rc=124,
+    parsed=null; round-2: value 0.0).
+
+    Two mechanisms, because they cover different hangs:
+    * SIGALRM — cheap, but its Python handler only runs between bytecode
+      instructions on the main thread. A dead-relay hang sits INSIDE the
+      C-level PJRT client init and the handler never runs (measured: the
+      alarm fired, the process still had to be killed externally).
+    * a daemon threading.Timer — runs as long as the blocked C call
+      releases the GIL (network waits do), and os._exit works from any
+      thread. This is the one that actually fires on a dead tunnel.
+    """
+    def _fire(signum=None, frame=None):
         _emit(_best["value"], 1.0 if _best["value"] else 0.0,
               {"error": f"watchdog: {stage} exceeded {seconds}s; "
                         f"emitted best-so-far ({_best['note']})"})
@@ -57,6 +70,15 @@ def _watchdog(stage, seconds):
 
     signal.signal(signal.SIGALRM, _fire)
     signal.alarm(seconds)
+    import threading
+    if _watchdog_timer[0] is not None:
+        _watchdog_timer[0].cancel()
+    # +5 s so SIGALRM (which can name the precise stage in a healthy
+    # interpreter) gets first shot
+    t = threading.Timer(seconds + 5, _fire)
+    t.daemon = True
+    t.start()
+    _watchdog_timer[0] = t
 
 
 def _probe_tunnel(budget_s=240):
@@ -170,6 +192,8 @@ def main():
         _best.update(value=max(vals),
                      note=f"best of {len(vals)} chunks of {chunk} iters")
     signal.alarm(0)
+    if _watchdog_timer[0] is not None:
+        _watchdog_timer[0].cancel()
 
     _emit(max(vals), 1.0)
 
