@@ -31,10 +31,13 @@ class LiftRegSubspace(nn.Module):
     #: False computes sim on the raw (unmasked) CT pair — same semantics
     #: as LiftRegSubspaceBackproj.mask_ct
     mask_ct: bool = True
+    #: re-lay encoder stages 0+1 as space-to-depth convs (models/s2d.py)
+    s2d_encoder: bool = False
 
     def setup(self):
         self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
-                                       dtype=self.compute_dtype)
+                                       dtype=self.compute_dtype,
+                                       s2d_stage01=self.s2d_encoder)
 
     def __call__(self, inputs, pca):
         moving = inputs["source"]

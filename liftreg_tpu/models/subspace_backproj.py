@@ -26,24 +26,49 @@ import jax.numpy as jnp
 
 from ..coords import identity_map
 from ..ops import drr, resample
+from . import s2d
 from .blocks import ConvBlock, FullyConnectBlock
 
 
 class SubspaceEncoder(nn.Module):
-    """Conv encoder + FC head emitting PCA coefficients."""
+    """Conv encoder + FC head emitting PCA coefficients.
+
+    ``s2d_stage01`` re-lays stages 0+1 as space-to-depth convolutions
+    (:mod:`liftreg_tpu.models.s2d`): numerically the same operator from
+    the same parameter tree, but with MXU-friendly channel counts —
+    XLA's TPU conv lowering runs the tiny-channel stage-0 ~19x above its
+    HBM floor (DESIGN.md §4a) while the s2d form runs near roofline.
+    """
     latent_dim: int
     enc_filters: Sequence[int] = (16, 32, 32, 32, 32, 32)
     fc_widths: Sequence[int] = (800, 256)
     dtype: Any = None
+    s2d_stage01: bool = False
 
     @nn.compact
     def __call__(self, x):
         # x: (B, D, W, H, C) channels-last; each stage rematerialized so
         # training activations are recomputed in backward (HBM for FLOPs)
         RematConv = nn.remat(ConvBlock)
+        start = 0
+        if self.s2d_stage01 and s2d.eligible(x.shape, self.enc_filters):
+            k0, b0 = s2d.ConvParams((3, 3, 3, x.shape[-1],
+                                     self.enc_filters[0]),
+                                    name="CheckpointConvBlock_0")()
+            k1, b1 = s2d.ConvParams((3, 3, 3, self.enc_filters[0],
+                                     self.enc_filters[1]),
+                                    name="CheckpointConvBlock_1")()
+            pair = jax.checkpoint(
+                lambda a, p0, q0, p1, q1: s2d.conv_pair_s2d(
+                    a, p0, q0, p1, q1, dtype=self.dtype))
+            x = pair(x, k0, b0, k1, b1)
+            start = 2
         for i, feats in enumerate(self.enc_filters):
+            if i < start:
+                continue
             x = RematConv(feats, stride=1 if i == 0 else 2,
-                          use_bias=True, dtype=self.dtype)(x)
+                          use_bias=True, dtype=self.dtype,
+                          name=f"CheckpointConvBlock_{i}")(x)
         x = x.reshape(x.shape[0], -1)
         for w in self.fc_widths:
             x = FullyConnectBlock(w, dtype=self.dtype)(x)
@@ -102,10 +127,14 @@ class LiftRegSubspaceBackproj(nn.Module):
     #: at production scale"). True = reference behavior
     #: (``LiftRegDeformSubspaceBackproj.py:59-64``).
     mask_ct: bool = True
+    #: re-lay encoder stages 0+1 as space-to-depth convs (models/s2d.py):
+    #: same operator and parameter tree, MXU-friendly channel counts.
+    s2d_encoder: bool = False
 
     def setup(self):
         self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
-                                       dtype=self.compute_dtype)
+                                       dtype=self.compute_dtype,
+                                       s2d_stage01=self.s2d_encoder)
 
     def lift(self, target_proj, poses):
         """Backproject P projections into P feature volumes; gradient stopped

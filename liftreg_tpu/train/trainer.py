@@ -214,6 +214,14 @@ class RegistrationTrainer(TrainerBase):
             model_kwargs["mask_ct"] = (raw if isinstance(raw, bool) else
                                        str(raw).lower() not in
                                        ("false", "0", "no"))
+        if "s2d_encoder" in model_cfg and \
+                model_cls.__name__ != "RegNet2D3D":
+            # space-to-depth stages 0+1 (models/s2d.py): same operator,
+            # MXU-friendly channel counts
+            raw = model_cfg["s2d_encoder"]
+            model_kwargs["s2d_encoder"] = (raw if isinstance(raw, bool)
+                                           else str(raw).lower() not in
+                                           ("false", "0", "no"))
         if self.mesh.devices.size > 1:
             # shard_map the warps so each chip warps only its own batch
             # shard (resample.warp_image mesh docstring)

@@ -1,0 +1,103 @@
+"""Space-to-depth encoder stages (models/s2d.py).
+
+The s2d pair must be numerically the SAME operator as the two ConvBlocks
+it replaces — same parameter tree, same outputs, same gradients — so a
+checkpoint trained either way loads and evaluates identically.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from liftreg_tpu.models import s2d
+from liftreg_tpu.models.subspace_backproj import SubspaceEncoder
+
+
+def _ref_pair(x, w0, b0, w1, b1, slope=0.2):
+    """Stage 0 (k3 s1 pad1) + LeakyReLU + stage 1 (k3 s2 pad1) + LeakyReLU
+    via XLA convs — the ConvBlock formulation (models/blocks.py:60-70)."""
+    def dn(a, w):
+        return jax.lax.conv_dimension_numbers(
+            a.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+    y = jax.lax.conv_general_dilated(x, w0, (1, 1, 1), [(1, 1)] * 3,
+                                     dimension_numbers=dn(x, w0))
+    y = jax.nn.leaky_relu(y + b0, slope)
+    z = jax.lax.conv_general_dilated(y, w1, (2, 2, 2), [(1, 1)] * 3,
+                                     dimension_numbers=dn(y, w1))
+    return jax.nn.leaky_relu(z + b1, slope)
+
+
+def _rand_pair(rng, D, C, F, G, B=2):
+    x = jnp.asarray(rng.randn(B, D, D, D, C), jnp.float32)
+    w0 = jnp.asarray(rng.randn(3, 3, 3, C, F) * 0.1, jnp.float32)
+    b0 = jnp.asarray(rng.randn(F) * 0.1, jnp.float32)
+    w1 = jnp.asarray(rng.randn(3, 3, 3, F, G) * 0.1, jnp.float32)
+    b1 = jnp.asarray(rng.randn(G) * 0.1, jnp.float32)
+    return x, w0, b0, w1, b1
+
+
+@pytest.mark.parametrize("D,C,F,G", [(8, 5, 16, 32), (12, 3, 8, 8),
+                                     (16, 5, 16, 32)])
+def test_pair_matches_xla_convs(D, C, F, G):
+    rng = np.random.RandomState(0)
+    x, w0, b0, w1, b1 = _rand_pair(rng, D, C, F, G)
+    ref = _ref_pair(x, w0, b0, w1, b1)
+    got = s2d.conv_pair_s2d(x, w0, b0, w1, b1)
+    assert got.shape == ref.shape == (2, D // 2, D // 2, D // 2, G)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               atol=2e-5, rtol=1e-5)
+
+
+def test_pair_gradients_match():
+    rng = np.random.RandomState(1)
+    x, w0, b0, w1, b1 = _rand_pair(rng, 8, 5, 16, 32)
+    tgt = jnp.asarray(rng.randn(2, 4, 4, 4, 32), jnp.float32)
+
+    def loss(fn, p):
+        return jnp.mean((fn(x, *p) - tgt) ** 2)
+
+    ga = jax.grad(lambda p: loss(_ref_pair, p))((w0, b0, w1, b1))
+    gb = jax.grad(lambda p: loss(s2d.conv_pair_s2d, p))((w0, b0, w1, b1))
+    for a, b in zip(ga, gb):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-5, rtol=1e-4)
+
+
+def test_encoder_tree_and_output_compat():
+    """s2d encoder: identical param tree AND identical outputs from the
+    same params — a checkpoint is interchangeable between the paths."""
+    x = jnp.asarray(np.random.RandomState(2).randn(1, 16, 16, 16, 5),
+                    jnp.float32)
+    base = SubspaceEncoder(latent_dim=8, enc_filters=(16, 32, 32),
+                           fc_widths=(64,))
+    fast = SubspaceEncoder(latent_dim=8, enc_filters=(16, 32, 32),
+                           fc_widths=(64,), s2d_stage01=True)
+    pb = base.init(jax.random.PRNGKey(0), x)
+    pf = fast.init(jax.random.PRNGKey(0), x)
+
+    flat_b = jax.tree_util.tree_leaves_with_path(pb)
+    flat_f = jax.tree_util.tree_leaves_with_path(pf)
+    assert [(jax.tree_util.keystr(k), v.shape) for k, v in flat_b] == \
+           [(jax.tree_util.keystr(k), v.shape) for k, v in flat_f]
+
+    # identical initialization streams -> identical params
+    for (_, a), (_, b) in zip(flat_b, flat_f):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    out_b = base.apply(pb, x)
+    out_f = fast.apply(pb, x)   # base params through the s2d path
+    np.testing.assert_allclose(np.asarray(out_f), np.asarray(out_b),
+                               atol=2e-4, rtol=1e-4)
+
+
+def test_encoder_odd_size_falls_back():
+    """Odd spatial dims are ineligible; the flag silently uses ConvBlock
+    (same tree, so nothing changes for the user)."""
+    x = jnp.zeros((1, 14, 14, 14, 5), jnp.float32)  # 14 even -> eligible
+    xo = jnp.zeros((1, 15, 15, 15, 5), jnp.float32)
+    assert s2d.eligible(x.shape, (16, 32))
+    assert not s2d.eligible(xo.shape, (16, 32))
+    enc = SubspaceEncoder(latent_dim=4, enc_filters=(8, 8), fc_widths=(16,),
+                          s2d_stage01=True)
+    p = enc.init(jax.random.PRNGKey(0), xo)
+    assert enc.apply(p, xo).shape == (1, 4)
