@@ -133,6 +133,41 @@ def main():
     run("stage1_cl_bf16_s2",
         lambda x, w, b: conv_cl(x, w, b, stride=2), x1, w1, b1)
 
+    # ---- the space-to-depth pair (models/s2d.py) vs the ConvBlock pair
+    from liftreg_tpu.models.s2d import conv_pair_s2d
+
+    w0f = jnp.asarray(w32, jnp.float32)
+    w1f = jax.random.normal(k2, (3, 3, 3, F, 32), jnp.float32) * 0.1
+    b1f = jnp.zeros((32,), jnp.float32)
+
+    def pair_ref(x, w0, b0, w1, b1):
+        y = conv_cl(x, w0, b0)
+        return conv_cl(y, w1, b1, stride=2)
+
+    def pair_s2d(x, w0, b0, w1, b1):
+        return conv_pair_s2d(x, w0, b0, w1, b1, dtype=jnp.bfloat16)
+
+    run("pair01_convblock_bf16", pair_ref, x16, w16, b16,
+        w1f.astype(jnp.bfloat16), b1f.astype(jnp.bfloat16))
+    run("pair01_s2d_bf16", pair_s2d, x32, w0f, b32, w1f, b1f)
+
+    # training cost of the pair: grads wrt all four params (input is
+    # stop_gradient in the flagship model); jax.checkpoint mirrors the
+    # encoder's per-stage remat
+    def gpair(fn):
+        def loss(p, x):
+            return jnp.sum(jax.checkpoint(fn)(x, *p) ** 2)
+        g = jax.jit(jax.grad(loss))
+        params_ = ((w16, b16, w1f.astype(jnp.bfloat16),
+                    b1f.astype(jnp.bfloat16)) if fn is pair_ref
+                   else (w0f, b32, w1f, b1f))
+        xx = x16 if fn is pair_ref else x32
+        return timed(lambda p, x: g(p, x)[0], (params_, xx), args.iters)
+
+    print(f"{'pair01_convblock_bf16 grad':32s} {gpair(pair_ref):8.2f} "
+          f"ms/batch")
+    print(f"{'pair01_s2d_bf16 grad':32s} {gpair(pair_s2d):8.2f} ms/batch")
+
     hbm_floor_ms = (B * (S ** 3) * (C * 2 + F * 2)) / 819e9 * 1e3
     print(f"\n# HBM floor (bf16 in+out, 819 GB/s): {hbm_floor_ms:.2f} ms; "
           f"MXU floor (27*C*F MACs, 197 Tf bf16): "
