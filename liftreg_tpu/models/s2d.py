@@ -45,7 +45,8 @@ import numpy as np
 from .blocks import torch_bias_uniform, torch_kaiming_uniform
 
 __all__ = ["eligible", "pack_s2d", "stage0_weights", "stage1_weights",
-           "conv_pair_s2d", "ConvParams"]
+           "conv0_s2d", "conv1_s2d", "unpack_s2d", "conv_pair_s2d",
+           "ConvParams"]
 
 
 class _KernelBias(nn.Module):
@@ -151,8 +152,47 @@ def _conv(x, w, dtype):
                                         ("NDHWC", "DHWIO", "NDHWC"))
     if dtype is not None:
         x, w = x.astype(dtype), w.astype(dtype)
+    elif x.dtype != w.dtype:
+        # promote like flax.nn.Conv with dtype=None (e.g. bf16 input,
+        # f32 params -> compute in f32)
+        ct = jnp.promote_types(x.dtype, w.dtype)
+        x, w = x.astype(ct), w.astype(ct)
     return jax.lax.conv_general_dilated(x, w, (1, 1, 1), "VALID",
                                         dimension_numbers=dn)
+
+
+def conv0_s2d(x, w0, b0, negative_slope=0.2, dtype: Any = None):
+    """Stage 0 (k3, stride 1, SAME, bias, LeakyReLU) in s2d form.
+
+    x: (B, D, W, H, C) -> packed output (B, D/2, W/2, H/2, 8F), the
+    space-to-depth layout of the ConvBlock output (sub-position major
+    over the F features). Unpack with :func:`unpack_s2d` when the
+    full-resolution tensor itself is needed (e.g. a U-Net skip).
+    """
+    x2 = pack_s2d(x)                                   # (B,dq,wq,hq,8C)
+    w2 = stage0_weights(w0)
+    y2 = _conv(x2, w2, dtype) + jnp.tile(b0, 8).astype(
+        x2.dtype if dtype is None else dtype)
+    return jax.nn.leaky_relu(y2, negative_slope)
+
+
+def conv1_s2d(y2, w1, b1, negative_slope=0.2, dtype: Any = None):
+    """Stage 1 (k3, stride 2, pad 1, bias, LeakyReLU) applied to the
+    *packed* stage-0 output. Returns plain channels-last
+    (B, D/2, W/2, H/2, G) — exactly what stage 2 consumes."""
+    y2p = jnp.pad(y2, ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0)))
+    v2 = stage1_weights(w1)
+    z = _conv(y2p, v2, dtype) + b1.astype(
+        y2p.dtype if dtype is None else dtype)
+    return jax.nn.leaky_relu(z, negative_slope)
+
+
+def unpack_s2d(y2, F):
+    """(B, D/2, W/2, H/2, 8F) packed -> (B, D, W, H, F) full resolution."""
+    B, dq, wq, hq, _ = y2.shape
+    y = y2.reshape(B, dq, wq, hq, 2, 2, 2, F)
+    y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
+    return y.reshape(B, 2 * dq, 2 * wq, 2 * hq, F)
 
 
 def conv_pair_s2d(x, w0, b0, w1, b1, negative_slope=0.2, dtype: Any = None):
@@ -163,15 +203,5 @@ def conv_pair_s2d(x, w0, b0, w1, b1, negative_slope=0.2, dtype: Any = None):
     ``ConvBlock(F, stride=1)`` then ``ConvBlock(G, stride=2)`` with the
     same parameters (LeakyReLU between, like the originals).
     """
-    F = w0.shape[-1]
-    x2 = pack_s2d(x)                                   # (B,dq,wq,hq,8C)
-    w2 = stage0_weights(w0)
-    y2 = _conv(x2, w2, dtype) + jnp.tile(b0, 8).astype(
-        x2.dtype if dtype is None else dtype)
-    y2 = jax.nn.leaky_relu(y2, negative_slope)         # s2d of stage-0 out
-
-    y2p = jnp.pad(y2, ((0, 0), (1, 0), (1, 0), (1, 0), (0, 0)))
-    v2 = stage1_weights(w1)
-    z = _conv(y2p, v2, dtype) + b1.astype(
-        y2p.dtype if dtype is None else dtype)
-    return jax.nn.leaky_relu(z, negative_slope)
+    y2 = conv0_s2d(x, w0, b0, negative_slope, dtype)
+    return conv1_s2d(y2, w1, b1, negative_slope, dtype)

@@ -21,6 +21,7 @@ import jax.numpy as jnp
 
 from ..coords import identity_map
 from ..ops import drr, resample
+from . import s2d
 from .blocks import ConvBlock
 
 
@@ -39,6 +40,10 @@ class RegNet2D3D(nn.Module):
     #: backward (minimum HBM); False stores per-iteration residuals
     #: (~GBs at 160^3 B=1) to skip the recompute
     remat_inverse: bool = True
+    #: re-lay encoder stages 0+1 as space-to-depth convs (models/s2d.py):
+    #: same operator and parameter tree, MXU-friendly channel counts. The
+    #: full-resolution stage-0 skip is recovered by unpacking.
+    s2d_encoder: bool = False
 
     @nn.compact
     def __call__(self, inputs, pca=None):
@@ -74,10 +79,33 @@ class RegNet2D3D(nn.Module):
         # rematerialized conv stages: backward recomputes activations
         # instead of keeping every full-res feature map live (HBM for FLOPs)
         RematConv = nn.remat(ConvBlock)
+        n_conv = 0  # running CheckpointConvBlock_<n> counter (explicit
+        # names keep the parameter tree identical across the s2d switch)
         skips = []
+        start = 0
+        if self.s2d_encoder and s2d.eligible(x.shape, self.enc_filters):
+            f0, f1 = self.enc_filters[0], self.enc_filters[1]
+            k0, b0 = s2d.ConvParams((3, 3, 3, x.shape[-1], f0),
+                                    name="CheckpointConvBlock_0")()
+            k1, b1 = s2d.ConvParams((3, 3, 3, f0, f1),
+                                    name="CheckpointConvBlock_1")()
+            y2 = jax.checkpoint(
+                lambda a, p, q: s2d.conv0_s2d(
+                    a, p, q, dtype=self.compute_dtype))(x, k0, b0)
+            # the decoder's last skip concat needs stage-0 at full res
+            skips.append(s2d.unpack_s2d(y2, f0))
+            x = jax.checkpoint(
+                lambda a, p, q: s2d.conv1_s2d(
+                    a, p, q, dtype=self.compute_dtype))(y2, k1, b1)
+            skips.append(x)
+            start, n_conv = 2, 2
         for i, feats in enumerate(self.enc_filters):
+            if i < start:
+                continue
             x = RematConv(feats, stride=1 if i == 0 else 2,
-                          dtype=self.compute_dtype)(x)
+                          dtype=self.compute_dtype,
+                          name=f"CheckpointConvBlock_{n_conv}")(x)
+            n_conv += 1
             skips.append(x)
 
         def upsample(v):
@@ -86,14 +114,17 @@ class RegNet2D3D(nn.Module):
             vc = resample.resize_trilinear(vc, out_sp)
             return jnp.moveaxis(vc, 1, -1)
 
-        x = RematConv(self.dec_filters[0],
-                      dtype=self.compute_dtype)(skips[-1])
+        x = RematConv(self.dec_filters[0], dtype=self.compute_dtype,
+                      name=f"CheckpointConvBlock_{n_conv}")(skips[-1])
+        n_conv += 1
         for i, skip in enumerate(reversed(skips[:-1])):
             x = upsample(x)
             x = jnp.concatenate([x, skip], axis=-1)
-            x = RematConv(self.dec_filters[i + 1],
-                          dtype=self.compute_dtype)(x)
-        x = RematConv(self.dec_filters[5], dtype=self.compute_dtype)(x)
+            x = RematConv(self.dec_filters[i + 1], dtype=self.compute_dtype,
+                          name=f"CheckpointConvBlock_{n_conv}")(x)
+            n_conv += 1
+        x = RematConv(self.dec_filters[5], dtype=self.compute_dtype,
+                      name=f"CheckpointConvBlock_{n_conv}")(x)
 
         flow = nn.Conv(3, (3, 3, 3), padding=[(1, 1)] * 3,
                        kernel_init=nn.initializers.normal(stddev=0.001),

@@ -214,10 +214,9 @@ class RegistrationTrainer(TrainerBase):
             model_kwargs["mask_ct"] = (raw if isinstance(raw, bool) else
                                        str(raw).lower() not in
                                        ("false", "0", "no"))
-        if "s2d_encoder" in model_cfg and \
-                model_cls.__name__ != "RegNet2D3D":
+        if "s2d_encoder" in model_cfg:
             # space-to-depth stages 0+1 (models/s2d.py): same operator,
-            # MXU-friendly channel counts
+            # MXU-friendly channel counts (all model families)
             raw = model_cfg["s2d_encoder"]
             model_kwargs["s2d_encoder"] = (raw if isinstance(raw, bool)
                                            else str(raw).lower() not in

@@ -90,6 +90,43 @@ def test_encoder_tree_and_output_compat():
                                atol=2e-4, rtol=1e-4)
 
 
+def test_regnet_s2d_tree_and_output_compat():
+    """RegNet2D3D: the s2d switch keeps the parameter tree (explicit
+    CheckpointConvBlock_<n> names across encoder AND decoder) and the
+    output, including the full-res stage-0 skip recovered by unpacking."""
+    from liftreg_tpu.models.unet2d3d import RegNet2D3D
+    from liftreg_tpu.ops import drr
+
+    sz, P = (16, 16, 16), 2
+    rng = np.random.RandomState(3)
+    poses = drr.synthesize_poses(30.0, P, sz[1])
+    res = drr.default_resolution(sz)
+    batch = {
+        "source": jnp.asarray(rng.rand(1, 1, *sz), jnp.float32),
+        "target": jnp.asarray(rng.rand(1, 1, *sz), jnp.float32),
+        "original_source": jnp.asarray(rng.rand(1, 1, *sz), jnp.float32),
+        "source_label": jnp.ones((1, 1) + sz, jnp.float32),
+        "target_proj": jnp.asarray(rng.rand(1, P, *res), jnp.float32),
+        "target_poses": jnp.tile(poses[None], (1, 1, 1)),
+        "spacing": jnp.asarray([[2.2, 2.2, 2.2]], jnp.float32),
+    }
+    base = RegNet2D3D(img_sz=sz, drr_feature_num=P, inverse_iters=2)
+    fast = RegNet2D3D(img_sz=sz, drr_feature_num=P, inverse_iters=2,
+                      s2d_encoder=True)
+    pb = base.init(jax.random.PRNGKey(0), batch)
+    pf = fast.init(jax.random.PRNGKey(0), batch)
+    flat_b = jax.tree_util.tree_leaves_with_path(pb)
+    flat_f = jax.tree_util.tree_leaves_with_path(pf)
+    assert [(jax.tree_util.keystr(k), v.shape) for k, v in flat_b] == \
+           [(jax.tree_util.keystr(k), v.shape) for k, v in flat_f]
+
+    out_b = base.apply(pb, batch)
+    out_f = fast.apply(pb, batch)   # base params through the s2d path
+    np.testing.assert_allclose(np.asarray(out_f["phi"]),
+                               np.asarray(out_b["phi"]),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_encoder_odd_size_falls_back():
     """Odd spatial dims are ineligible; the flag silently uses ConvBlock
     (same tree, so nothing changes for the user)."""
