@@ -187,9 +187,10 @@ def conv1_s2d(y2, w1, b1, negative_slope=0.2, dtype: Any = None):
     return jax.nn.leaky_relu(z, negative_slope)
 
 
-def unpack_s2d(y2, F):
+def unpack_s2d(y2):
     """(B, D/2, W/2, H/2, 8F) packed -> (B, D, W, H, F) full resolution."""
-    B, dq, wq, hq, _ = y2.shape
+    B, dq, wq, hq, c8 = y2.shape
+    F = c8 // 8
     y = y2.reshape(B, dq, wq, hq, 2, 2, 2, F)
     y = y.transpose(0, 1, 4, 2, 5, 3, 6, 7)
     return y.reshape(B, 2 * dq, 2 * wq, 2 * hq, F)

@@ -93,7 +93,7 @@ class RegNet2D3D(nn.Module):
                 lambda a, p, q: s2d.conv0_s2d(
                     a, p, q, dtype=self.compute_dtype))(x, k0, b0)
             # the decoder's last skip concat needs stage-0 at full res
-            skips.append(s2d.unpack_s2d(y2, f0))
+            skips.append(s2d.unpack_s2d(y2))
             x = jax.checkpoint(
                 lambda a, p, q: s2d.conv1_s2d(
                     a, p, q, dtype=self.compute_dtype))(y2, k1, b1)

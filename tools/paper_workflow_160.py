@@ -16,6 +16,7 @@ stage 1 = 2901 s (1 epoch, B=1), stage 2 = 504 s (explained variance
 
 Usage: python tools/paper_workflow_160.py [--data DIR] [--out DIR]
        [--size N] [--stage1_epochs N] [--stage3_epochs N] [--latent K]
+       [--s2d]  (space-to-depth encoder stages, models/s2d.py)
 (--size 32 against a matching synthetic dataset gives a ~2.5 min
 full-chain smoke run on CPU)
 """
@@ -45,6 +46,10 @@ _ap.add_argument("--stage3_epochs", type=int, default=40)
 # against a matching `make_synthetic_dataset.py --size N` dataset
 _ap.add_argument("--size", type=int, default=160)
 _ap.add_argument("--latent", type=int, default=24)
+# space-to-depth encoder stages (models/s2d.py): same operator/params,
+# MXU-friendly channel counts — applies to both the dense RegNet stage
+# and the subspace stage
+_ap.add_argument("--s2d", action="store_true")
 _args = _ap.parse_args()
 DATA = _args.data
 OUT = _args.out
@@ -70,7 +75,7 @@ def base_setting(exp, epochs):
                      "reg_factor_decay_from": 10, "sim_class": "ncc"},
             "loss_class": "subspace", "mode": "train",
             "model": {"drr_feature_num": 4, "latent_dim": _args.latent,
-                      "pca_path": ""},
+                      "pca_path": "", "s2d_encoder": _args.s2d},
             "model_class": "subspace_backproj",
             "optim": {"adam": {"beta": [0.9, 0.999]}, "lr": 1e-3,
                       "lr_scheduler": {"custom": {"gamma": 0.8,
@@ -92,7 +97,7 @@ s1["dataset"]["dataset_class"] = "registration2d3d_projloss"
 s1["dataset"]["apply_hu_clip"] = False
 s1["train"]["model_class"] = "regnet2d3d"
 s1["train"]["loss_class"] = "regnet2d3d"
-s1["train"]["model"] = {"drr_feature_num": 4}
+s1["train"]["model"] = {"drr_feature_num": 4, "s2d_encoder": _args.s2d}
 s1["train"]["optim"]["lr"] = 5e-4
 s1["train"]["cache_on_device"] = False
 s1["train"]["dataloader"]["batch_size"] = 1
