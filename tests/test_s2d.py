@@ -127,6 +127,61 @@ def test_regnet_s2d_tree_and_output_compat():
                                atol=1e-4, rtol=1e-4)
 
 
+@pytest.mark.slow
+def test_s2d_training_step_on_mesh():
+    """s2d encoder under the 8-device batch-sharded mesh: grads flow,
+    loss finite, second step reuses the compiled program."""
+    import optax
+    from liftreg_tpu.losses import SubspaceLoss
+    from liftreg_tpu.models import LiftRegSubspaceBackproj
+    from liftreg_tpu.ops import drr
+    from liftreg_tpu.parallel import make_mesh, replicated, shard_batch
+
+    sz, latent, P, B = 16, 2, 2, 8
+    rng = np.random.default_rng(0)
+    model = LiftRegSubspaceBackproj(img_sz=(sz,) * 3, latent_dim=latent,
+                                    drr_feature_num=P, s2d_encoder=True)
+    inputs = {
+        "source": jnp.asarray(rng.uniform(-1, 1, (B, 1, sz, sz, sz))
+                              .astype(np.float32)),
+        "target": jnp.asarray(rng.uniform(-1, 1, (B, 1, sz, sz, sz))
+                              .astype(np.float32)),
+        "source_label": jnp.ones((B, 1, sz, sz, sz), jnp.float32),
+        "target_label": jnp.ones((B, 1, sz, sz, sz), jnp.float32),
+        "target_proj": jnp.asarray(rng.uniform(-1, 1, (B, P, 24, 24))
+                                   .astype(np.float32)),
+        "target_poses": jnp.asarray(
+            np.tile(drr.synthesize_poses(30.0, P, sz), (B, 1, 1))),
+    }
+    pca = {"vectors": jnp.asarray(rng.normal(size=(latent, 3 * sz ** 3))
+                                  .astype(np.float32) * 0.01),
+           "mean": jnp.zeros((3 * sz ** 3,), jnp.float32)}
+    params = model.init(jax.random.PRNGKey(0), inputs, pca)
+    loss_obj = SubspaceLoss({"sim_class": "ncc", "initial_reg_factor": 0.01,
+                             "min_reg_factor": 0.01})
+    tx = optax.adam(1e-3)
+    opt = tx.init(params)
+
+    mesh = make_mesh()
+    batch = shard_batch(inputs, mesh)
+    params = jax.device_put(params, replicated(mesh))
+    opt = jax.device_put(opt, replicated(mesh))
+    pca_r = {k: jax.device_put(v, replicated(mesh)) for k, v in pca.items()}
+
+    @jax.jit
+    def step(p, o, b, pc):
+        def lf(pp):
+            out = model.apply(pp, b, pc)
+            return loss_obj(out, 0.01)["total_loss"]
+        l, g = jax.value_and_grad(lf)(p)
+        u, o = tx.update(g, o, p)
+        return optax.apply_updates(p, u), o, l
+
+    params, opt, l1 = step(params, opt, batch, pca_r)
+    params, opt, l2 = step(params, opt, batch, pca_r)
+    assert np.isfinite(float(l1)) and np.isfinite(float(l2))
+
+
 def test_encoder_odd_size_falls_back():
     """Odd spatial dims are ineligible; the flag silently uses ConvBlock
     (same tree, so nothing changes for the user)."""
