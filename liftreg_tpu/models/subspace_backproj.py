@@ -84,7 +84,7 @@ def mask_lung(img, seg):
 
 
 def expand_pca(coefs, pca_vectors, pca_mean, img_sz,
-               precision=jax.lax.Precision.HIGHEST):
+               precision=jax.lax.Precision.HIGHEST, use_pallas=False):
     """coefs (B, L) -> displacement (B, 3, D, W, H).
 
     ``pca_vectors``: (L, 3*D*W*H) — the on-disk ``pca_vectors.npy`` layout
@@ -94,11 +94,19 @@ def expand_pca(coefs, pca_vectors, pca_mean, img_sz,
     A bf16 ``pca_vectors`` buffer (see ``load_pca(..., dtype=)``) halves the
     dominant HBM read of this thin matmul; the product accumulates in f32
     (``preferred_element_type``) and the mean stays f32.
+
+    ``use_pallas`` (bf16 basis only): stream every basis block exactly
+    once for the whole batch (``ops/pallas_pca.py`` — the XLA lowering of
+    this tiny-M matmul measured ~3.8x its HBM floor at B=4).
     """
     B = coefs.shape[0]
     if pca_vectors.dtype == jnp.bfloat16:
-        disp = jnp.dot(coefs.astype(jnp.bfloat16), pca_vectors,
-                       preferred_element_type=jnp.float32) + pca_mean
+        if use_pallas:
+            from ..ops.pallas_pca import expand_pca_streamed
+            disp = expand_pca_streamed(coefs, pca_vectors, pca_mean)
+        else:
+            disp = jnp.dot(coefs.astype(jnp.bfloat16), pca_vectors,
+                           preferred_element_type=jnp.float32) + pca_mean
     else:
         disp = jnp.dot(coefs, pca_vectors.astype(jnp.float32),
                        precision=precision) + pca_mean
@@ -130,6 +138,9 @@ class LiftRegSubspaceBackproj(nn.Module):
     #: re-lay encoder stages 0+1 as space-to-depth convs (models/s2d.py):
     #: same operator and parameter tree, MXU-friendly channel counts.
     s2d_encoder: bool = False
+    #: stream the (bf16) PCA basis once for the whole batch in a Pallas
+    #: kernel (ops/pallas_pca.py); requires pca_dtype=bfloat16, TPU only.
+    pca_expand_pallas: bool = False
 
     def setup(self):
         self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
@@ -166,7 +177,8 @@ class LiftRegSubspaceBackproj(nn.Module):
             x = x.astype(self.compute_dtype)
         coefs = self.encoder(x)
 
-        disp = expand_pca(coefs, pca["vectors"], pca["mean"], self.img_sz)
+        disp = expand_pca(coefs, pca["vectors"], pca["mean"], self.img_sz,
+                          use_pallas=self.pca_expand_pallas)
         phi = disp + identity_map(self.img_sz)[None]
         warped = resample.warp_image(moving_cp, phi, zero_boundary=True,
                                      scale_intensity=True,

@@ -43,7 +43,8 @@ class RegistrationPipeline:
 
     def __init__(self, img_sz=(160, 160, 160), latent_dim=56, n_proj=4,
                  scan_range_deg=30.0, spacing=(2.2, 2.2, 2.2),
-                 resolution=None, compute_dtype=None, s2d_encoder=False):
+                 resolution=None, compute_dtype=None, s2d_encoder=False,
+                 pca_expand_pallas=False):
         self.img_sz = tuple(int(s) for s in img_sz)
         self.spacing = tuple(float(s) for s in spacing)
         self.resolution = tuple(resolution) if resolution is not None \
@@ -55,7 +56,8 @@ class RegistrationPipeline:
         self.model = LiftRegSubspaceBackproj(
             img_sz=self.img_sz, latent_dim=latent_dim,
             drr_feature_num=n_proj, compute_dtype=compute_dtype,
-            warp_taps_dtype=compute_dtype, s2d_encoder=s2d_encoder)
+            warp_taps_dtype=compute_dtype, s2d_encoder=s2d_encoder,
+            pca_expand_pallas=pca_expand_pallas)
         self._register = jax.jit(self._register_impl)
 
     def init_params(self, rng_key, pca):
