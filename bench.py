@@ -189,13 +189,18 @@ def main():
         float(acc)  # device executes in order; syncs the whole chunk
         dt = (time.perf_counter() - t0) / chunk
         vals.append(B / dt)
+        # the watchdog's partial-result fallback is the best chunk so far
+        # (explicitly labeled as such in the error note); the healthy-path
+        # emission below is the MEAN over all chunks — the same statistic
+        # as the previous 20-iteration single-stream average, so the
+        # metric stays comparable round over round
         _best.update(value=max(vals),
                      note=f"best of {len(vals)} chunks of {chunk} iters")
     signal.alarm(0)
     if _watchdog_timer[0] is not None:
         _watchdog_timer[0].cancel()
 
-    _emit(max(vals), 1.0)
+    _emit(sum(vals) / len(vals), 1.0)
 
 
 if __name__ == "__main__":

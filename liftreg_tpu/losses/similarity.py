@@ -164,8 +164,11 @@ def lncc_loss(pred, target, win=9, eps=1e-5, weights=None, smooth=0):
     blur-cycle term and the same directional derivative becomes uniformly
     negative. See DESIGN.md "LNCC at production scale"."""
     if smooth:
-        pred = _smooth_triangle(pred, int(smooth))
-        target = _smooth_triangle(target, int(smooth))
+        # pass through unconverted so _smooth_triangle's odd-int check
+        # rejects fractional widths (int() here would silently accept
+        # e.g. 1.5 as the identity filter)
+        pred = _smooth_triangle(pred, smooth)
+        target = _smooth_triangle(target, smooth)
     i, j = pred, target
     i2, j2, ij = i * i, j * j, i * j
     n = float(win ** 3)

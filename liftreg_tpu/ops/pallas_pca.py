@@ -47,7 +47,12 @@ def _expand_fwd_impl(coefs, vectors, mean, block, interpret):
     block = min(block, n)
     while n % block and block > 128:
         block //= 2
-    assert n % block == 0, (n, block)
+    if n % block:
+        # n has no power-of-two block divisor >= 128 (e.g. 3*50^3):
+        # fall back to the XLA formulation rather than fail at trace time
+        return jnp.dot(coefs.astype(jnp.bfloat16),
+                       vectors.astype(jnp.bfloat16),
+                       preferred_element_type=jnp.float32) + mean
     # pad L to the bf16 sublane tile so the dot is layout-clean
     Lp = max(16, (L + 15) // 16 * 16)
     if Lp != L:

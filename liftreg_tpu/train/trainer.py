@@ -485,10 +485,15 @@ class RegistrationTrainer(TrainerBase):
         # keep the watchdog armed across it, scaled for compile time on the
         # first step
         self._watch(scale=60.0 if self.iter_count == 1 else 1.0)
-        self.params, self.opt_state, losses = self._train_step(
-            self.params, self.opt_state, batch, self.pca, reg_factor,
-            jnp.int32(len(names)))
-        self._unwatch()
+        try:
+            self.params, self.opt_state, losses = self._train_step(
+                self.params, self.opt_state, batch, self.pca, reg_factor,
+                jnp.int32(len(names)))
+        finally:
+            # a raising step must not leave the watchdog armed: the stale
+            # heartbeat would os._exit(42) a process that is handling the
+            # real error (e.g. a supervisor constructing a second trainer)
+            self._unwatch()
         self._pending_losses.append((self.global_step["train"], losses))
         if len(self._pending_losses) >= self._loss_flush_steps:
             self._flush_losses()
@@ -501,8 +506,10 @@ class RegistrationTrainer(TrainerBase):
         # the flush syncs the whole backlog: budget one step_timeout per
         # pending step, not one for the batch (ADVICE round 2)
         self._watch(scale=max(1.0, float(len(self._pending_losses))))
-        host = jax.device_get([l for _, l in self._pending_losses])
-        self._unwatch()
+        try:
+            host = jax.device_get([l for _, l in self._pending_losses])
+        finally:
+            self._unwatch()
         now = time.perf_counter()
         per_step_ms = ((now - self._last_flush_t) * 1000.0
                        / len(self._pending_losses))

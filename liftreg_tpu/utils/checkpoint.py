@@ -65,6 +65,25 @@ def resume_train(model_path: str, params_template=None):
             state["params"] = serialization.from_state_dict(
                 params_template, state["params"])
         except Exception as e:  # noqa: BLE001 — parity with strict=False
+            def modules(tree):
+                inner = tree.get("params", tree) if hasattr(tree, "get") \
+                    else tree
+                return set(inner.keys()) if hasattr(inner, "keys") else set()
+
+            tpl_mods = modules(serialization.to_state_dict(params_template))
+            ck_mods = modules(state["params"])
+            missing = sorted(tpl_mods - ck_mods)
+            unexpected = sorted(ck_mods - tpl_mods)
+            if tpl_mods and len(tpl_mods & ck_mods) < len(tpl_mods) / 2:
+                # a majority-mismatched tree is an architecture mismatch
+                # (e.g. a checkpoint from a renamed module layout), not a
+                # partially-extended model — failing loud beats training
+                # silently from what is effectively a fresh init
+                raise ValueError(
+                    f"checkpoint '{model_path}' parameter tree does not "
+                    f"match the model: checkpoint has {unexpected[:4]}..., "
+                    f"model expects {missing[:4]}... ({e})") from e
             print("Warning !!! Error reading the whole model, loading the "
-                  f"matching subset ({e})")
+                  f"matching subset (missing from ckpt: {missing}; "
+                  f"unexpected in ckpt: {unexpected}; {e})")
     return start_epoch, global_step, state

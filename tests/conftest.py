@@ -19,16 +19,12 @@ if os.environ.get("LIFTREG_ONCHIP_TESTS") != "1":
     # it (measured; only jax.config.update after import, or an absent
     # plugin, does). Path-component match, not substring.
     import sys
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from liftreg_tpu.envpath import (pythonpath_without_plugin,
+                                     strip_plugin_paths)
     if "PYTHONPATH" in os.environ:
-        # keep empty components (they mean "cwd" in PYTHONPATH semantics);
-        # drop only the plugin's own dir
-        _parts = [p for p in os.environ["PYTHONPATH"].split(os.pathsep)
-                  if not any(c in (".axon_site", "axon_site")
-                             for c in p.split(os.sep))]
-        os.environ["PYTHONPATH"] = os.pathsep.join(_parts)
-    sys.path[:] = [p for p in sys.path
-                   if not any(c in (".axon_site", "axon_site")
-                              for c in p.split(os.sep))]
+        os.environ["PYTHONPATH"] = pythonpath_without_plugin()
+    sys.path[:] = strip_plugin_paths(sys.path)
     # (in THIS process the load-bearing line is the jax.config.update
     # below — sitecustomize already ran before conftest was imported)
 flags = os.environ.get("XLA_FLAGS", "")

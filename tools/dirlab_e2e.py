@@ -35,48 +35,26 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+from liftreg_tpu.utils.settings import default_task_setting           # noqa: E402
 from tools.preprocessing import FILE_TYPE, preprocess, save_id_list  # noqa: E402
 from tools.preprocessing_drr import generate_drrs                    # noqa: E402
 
 
 def build_setting(data_path, exp_path, size, latent, n_proj, epochs,
                   batch_size, pca_path, val_frequency=1):
-    """A ``cur_task_setting.json``-schema dict wired for the rehearsal."""
-    return {
-        "dataset": {
-            "apply_hu_clip": True,
-            "data_path": data_path,
-            "dataset_class": "registration2d3d",
-            "drr_folder_name": "drr",
-            "img_after_resize": [size, size, size],
-            "load_projection_interval": 1,
-            "max_num_for_loading": [-1, -1, -1, -1],
-            "spacing_to_refer": [2.2, 2.2, 2.2],
-            "use_segmentation_map": True,
-        },
+    """A ``cur_task_setting.json``-schema dict wired for the rehearsal
+    (canonical base: ``liftreg_tpu.utils.settings``)."""
+    return default_task_setting(data_path, exp_path, size, overrides={
         "train": {
-            "dataloader": {"batch_size": batch_size,
-                           "shuffle": [True, True, False, False]},
-            "debug_on": False,
+            "dataloader": {"batch_size": batch_size},
             "epoch": epochs,
-            "loss": {"initial_reg_factor": 0.1, "min_reg_factor": 1e-3,
-                     "reg_factor_decay_from": 10, "sim_class": "ncc"},
-            "loss_class": "subspace",
-            "mode": "train",
             "model": {"drr_feature_num": n_proj, "latent_dim": latent,
                       "pca_path": pca_path},
-            "model_class": "subspace_backproj",
-            "optim": {"adam": {"beta": [0.9, 0.999]}, "lr": 1e-3,
-                      "lr_scheduler": {"custom": {"gamma": 0.8,
-                                                  "step_size": 30},
-                                       "type": "custom"},
-                      "optim_type": "adam"},
-            "output_path": exp_path,
-            "save_3d_img": True, "save_fig": False,
-            "save_fig_frequency": 100, "save_model_frequency": 5,
+            "save_3d_img": True,
+            "save_model_frequency": 5,
             "val_frequency": val_frequency,
         },
-    }
+    })
 
 
 def placeholder_pca(out_dir, size, latent, seed=0, magnitude=0.03):

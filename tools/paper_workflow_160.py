@@ -30,6 +30,7 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from liftreg_tpu.train import RegistrationTrainer
+from liftreg_tpu.utils.settings import default_task_setting
 from liftreg_tpu import pca as pca_lib
 from tools.build_pca import disp_from_experiment
 from liftreg_tpu.utils.tre import eval_copd_highres
@@ -57,36 +58,17 @@ SIZE = _args.size
 os.makedirs(OUT, exist_ok=True)
 
 def base_setting(exp, epochs):
-    return {
-        "dataset": {
-            "apply_hu_clip": True, "data_path": DATA,
-            "dataset_class": "registration2d3d", "drr_folder_name": "drr",
-            "img_after_resize": [SIZE, SIZE, SIZE],
-            "load_projection_interval": 1,
-            "max_num_for_loading": [40, 4, 4, 4],
-            "spacing_to_refer": [2.2, 2.2, 2.2],
-            "use_segmentation_map": True,
-        },
+    """Canonical base (liftreg_tpu.utils.settings) + this tool's knobs."""
+    return default_task_setting(DATA, exp, SIZE, overrides={
+        "dataset": {"max_num_for_loading": [40, 4, 4, 4]},
         "train": {
-            "dataloader": {"batch_size": 2,
-                           "shuffle": [True, True, False, False]},
-            "debug_on": False, "epoch": epochs,
-            "loss": {"initial_reg_factor": 0.1, "min_reg_factor": 1e-3,
-                     "reg_factor_decay_from": 10, "sim_class": "ncc"},
-            "loss_class": "subspace", "mode": "train",
-            "model": {"drr_feature_num": 4, "latent_dim": _args.latent,
-                      "pca_path": "", "s2d_encoder": _args.s2d},
-            "model_class": "subspace_backproj",
-            "optim": {"adam": {"beta": [0.9, 0.999]}, "lr": 1e-3,
-                      "lr_scheduler": {"custom": {"gamma": 0.8,
-                                                  "step_size": 30},
-                                       "type": "custom"},
-                      "optim_type": "adam"},
-            "output_path": exp, "save_3d_img": False, "save_fig": False,
-            "save_fig_frequency": 1000, "save_model_frequency": 1,
-            "val_frequency": 1, "log_flush_steps": 4,
+            "epoch": epochs,
+            "model": {"latent_dim": _args.latent,
+                      "s2d_encoder": _args.s2d},
+            "save_fig_frequency": 1000,
+            "log_flush_steps": 4,
         },
-    }
+    })
 
 t0 = time.time()
 # ---- stage 1: dense RegNet2D3D, 2 epochs -----------------------------

@@ -118,8 +118,14 @@ def save_id_list(task_root, file_name, case_id_list, mode="train"):
     if mode == "train":
         np.random.shuffle(case_id_list)
         n = len(case_id_list)
-        train = case_id_list[:n * 4 // 5]
-        val = case_id_list[n * 4 // 5:]
+        # 80/20, but never an empty train split: with 1-4 cases the 4//5
+        # floor would zero it out and the trainer fails with an
+        # unrelated-looking "empty dataset for phase train"; small-corpus
+        # smoke runs (tools/dirlab_e2e.py single-case rehearsal) reuse the
+        # cases for val instead
+        n_train = max(1, n * 4 // 5)
+        train = case_id_list[:n_train]
+        val = case_id_list[n_train:] or list(train)
         for sub, lst in (("train", train), ("debug", train), ("val", val)):
             os.makedirs(os.path.join(task_root, sub), exist_ok=True)
             np.save(os.path.join(task_root, sub, file_name), lst)
