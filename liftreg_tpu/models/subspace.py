@@ -33,6 +33,8 @@ class LiftRegSubspace(nn.Module):
     mask_ct: bool = True
     #: re-lay encoder stages 0+1 as space-to-depth convs (models/s2d.py)
     s2d_encoder: bool = False
+    #: stream the (bf16) PCA basis once per batch (ops/pallas_pca.py)
+    pca_expand_pallas: bool = False
 
     def setup(self):
         self.encoder = SubspaceEncoder(self.latent_dim, self.enc_filters,
@@ -60,7 +62,8 @@ class LiftRegSubspace(nn.Module):
             x = x.astype(self.compute_dtype)
         coefs = self.encoder(x)
 
-        disp = expand_pca(coefs, pca["vectors"], pca["mean"], self.img_sz)
+        disp = expand_pca(coefs, pca["vectors"], pca["mean"], self.img_sz,
+                          use_pallas=self.pca_expand_pallas)
         phi = disp + identity_map(self.img_sz)[None]
         warped = resample.warp_image(moving_cp, phi, zero_boundary=True,
                                      scale_intensity=True,
