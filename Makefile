@@ -1,6 +1,6 @@
 # Developer conveniences.
 
-.PHONY: test test-fast test-slow bench native dryrun clean
+.PHONY: test test-fast test-slow bench bench-ab bench-stage0 native dryrun clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -15,6 +15,14 @@ test-slow:
 
 bench:
 	python bench.py
+
+# A/B of the opt-in kernels (s2d encoder, streamed PCA expand) at 160^3
+bench-ab:
+	python tools/bench_ab.py
+
+# stage-0 conv variants (layouts/dtypes/s2d pair) + optional HLO dump
+bench-stage0:
+	python tools/bench_stage0.py
 
 native:
 	g++ -O3 -shared -fPIC liftreg_tpu/native/codec.cpp \
