@@ -1,6 +1,7 @@
 # Developer conveniences.
 
-.PHONY: test test-fast test-slow bench bench-ab bench-stage0 native dryrun clean
+.PHONY: test test-fast test-slow bench bench-ab bench-stage0 check-cache \
+	native dryrun clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -23,6 +24,11 @@ bench-ab:
 # stage-0 conv variants (layouts/dtypes/s2d pair) + optional HLO dump
 bench-stage0:
 	python tools/bench_stage0.py
+
+# fail if a commit changed the driver-facing traces since the cache warm
+# (would silently turn the driver's bench back into a cold 160^3 compile)
+check-cache:
+	python tools/check_cache_trace.py --check
 
 native:
 	g++ -O3 -shared -fPIC liftreg_tpu/native/codec.cpp \
