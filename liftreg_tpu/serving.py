@@ -1,0 +1,161 @@
+"""AOT serving artifacts: the fused registration program + weights, one file.
+
+The reference serves a registration by re-running the full Python stack per
+deployment — torch module source + checkpoint + the host-mediated
+preprocessing chain (``eval.py:35-49``, ``networks/RegistrationNet.py``).
+TPU-native serving wants none of that on the host: XLA programs are
+ahead-of-time exportable, so the whole fused pipeline (HU clip -> DRR
+simulation -> lift -> encoder -> PCA expand -> warp; see ``pipeline.py``)
+is exported once via :mod:`jax.export` and packaged WITH its weights into a
+single msgpack artifact. A serving host deserializes and calls — no model
+source, no flax, no re-trace; the first call pays only XLA's compile of the
+already-lowered StableHLO (and a warm persistent cache turns that into a
+deserialization too).
+
+Artifacts are exported for ``("tpu", "cpu")`` by default: one file serves
+on TPU hosts and falls back to CPU dev machines. Shapes are specialized
+(batch ``B`` fixed at export); :meth:`ServingModel.register` pads partial
+batches to ``B`` and slices the results, so callers can send 1..B pairs.
+
+Format (flax msgpack, version 1)::
+
+    {"version": 1,
+     "exported": <jax.export serialized bytes>,
+     "params":   <nested numpy dict>,
+     "pca":      {"vectors": ..., "mean": ...},
+     "meta":     {"img_sz", "batch_size", "latent_dim", "n_proj",
+                  "platforms", "compute_dtype"}}
+"""
+from __future__ import annotations
+
+import os
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+from jax import export as jax_export
+
+ARTIFACT_VERSION = 1
+DEFAULT_PLATFORMS = ("tpu", "cpu")
+
+
+def _to_numpy_tree(tree):
+    return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
+
+
+def export_serving(pipe, params, pca, batch_size: int, out_path: str,
+                   platforms: Tuple[str, ...] = DEFAULT_PLATFORMS) -> str:
+    """Export ``pipe.register`` AOT and package it with the weights.
+
+    ``pipe``: a built :class:`~liftreg_tpu.pipeline.RegistrationPipeline`;
+    ``params``/``pca``: its weights (any pytree of arrays); ``batch_size``:
+    the serving batch the program is specialized to. Returns ``out_path``.
+    """
+    sz = pipe.img_sz
+    # plain nested dicts: the exported calling convention hashes the input
+    # treedef, and msgpack restore produces plain dicts — exporting with
+    # the same container type keeps save/load round-trip exact
+    params_np = serialization.to_state_dict(params)
+    pca_np = serialization.to_state_dict(pca)
+
+    def as_sds(tree):
+        return jax.tree_util.tree_map(
+            lambda x: jax.ShapeDtypeStruct(np.shape(x), np.asarray(x).dtype),
+            tree)
+
+    vol = jax.ShapeDtypeStruct((batch_size, 1) + sz, jnp.float32)
+    exp = jax_export.export(
+        jax.jit(pipe._register_impl), platforms=tuple(platforms))(
+            as_sds(params_np), as_sds(pca_np), vol, vol, vol, vol)
+
+    compute_dtype = pipe.model.compute_dtype
+    payload = {
+        "version": ARTIFACT_VERSION,
+        "exported": exp.serialize(),
+        "params": _to_numpy_tree(params_np),
+        "pca": _to_numpy_tree(pca_np),
+        "meta": {
+            "img_sz": list(sz),
+            "batch_size": int(batch_size),
+            "latent_dim": int(pipe.model.latent_dim),
+            "n_proj": int(pipe.poses.shape[0]),
+            "platforms": list(platforms),
+            "compute_dtype": (np.dtype(compute_dtype).name
+                              if compute_dtype is not None else ""),
+        },
+    }
+    blob = serialization.msgpack_serialize(payload, in_place=True)
+    tmp = out_path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(blob)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+class ServingModel:
+    """Load a serving artifact and register CT pairs — no model source.
+
+    Example::
+
+        srv = ServingModel.load("flagship.liftreg")
+        warped, phi = srv.register(source_hu, target_hu, src_seg, tgt_seg)
+    """
+
+    def __init__(self, exported, params, pca, meta):
+        self._exported = exported
+        self._params = params
+        self._pca = pca
+        self.meta = meta
+        self.batch_size = int(meta["batch_size"])
+        self.img_sz = tuple(int(s) for s in meta["img_sz"])
+        # one jitted entry: XLA compiles the deserialized StableHLO on
+        # first call (cacheable via jax_compilation_cache_dir like any
+        # other program)
+        self._call = jax.jit(exported.call)
+
+    @classmethod
+    def load(cls, path: str) -> "ServingModel":
+        with open(path, "rb") as f:
+            payload = serialization.msgpack_restore(f.read())
+        version = int(payload.get("version", -1))
+        if version != ARTIFACT_VERSION:
+            raise ValueError(
+                f"serving artifact '{path}' has version {version}; this "
+                f"loader supports version {ARTIFACT_VERSION}")
+        exported = jax_export.deserialize(bytes(payload["exported"]))
+        return cls(exported, payload["params"], payload["pca"],
+                   payload["meta"])
+
+    def register(self, source_hu, target_hu, source_seg=None,
+                 target_seg=None):
+        """(B', 1, D, W, H) HU volumes with 1 <= B' <= batch_size; segs
+        optional {0,1} masks (default: all-ones). Partial batches are padded
+        to the exported batch and the outputs sliced back to B'."""
+        b_in = int(np.shape(source_hu)[0])
+        if not 1 <= b_in <= self.batch_size:
+            raise ValueError(
+                f"batch {b_in} outside [1, {self.batch_size}] — this "
+                f"artifact was exported for batch_size={self.batch_size}")
+        if source_seg is None:
+            source_seg = jnp.ones_like(source_hu)
+        if target_seg is None:
+            target_seg = jnp.ones_like(target_hu)
+        pad = self.batch_size - b_in
+
+        def _pad(x):
+            if pad == 0:
+                return jnp.asarray(x)
+            reps = jnp.repeat(jnp.asarray(x)[-1:], pad, axis=0)
+            return jnp.concatenate([jnp.asarray(x), reps], axis=0)
+
+        warped, phi = self._call(self._params, self._pca, _pad(source_hu),
+                                 _pad(target_hu), _pad(source_seg),
+                                 _pad(target_seg))
+        return warped[:b_in], phi[:b_in]
+
+    @property
+    def platforms(self):
+        return tuple(self._exported.platforms)

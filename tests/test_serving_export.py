@@ -1,0 +1,187 @@
+"""AOT serving artifact: export -> single file -> load -> register.
+
+The artifact must reproduce the live pipeline exactly (same program, same
+weights), pad partial batches, and load without touching the model source
+(no pipeline/model construction on the serving side).
+"""
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from liftreg_tpu.pipeline import RegistrationPipeline
+from liftreg_tpu.serving import ARTIFACT_VERSION, ServingModel, export_serving
+
+SZ, LATENT, B = 16, 8, 2
+
+
+@pytest.fixture(scope="module")
+def artifact(tmp_path_factory):
+    pipe = RegistrationPipeline((SZ, SZ, SZ), latent_dim=LATENT)
+    keys = jax.random.split(jax.random.PRNGKey(7), 5)
+    pca = {
+        "vectors": jax.random.normal(keys[0], (LATENT, 3 * SZ ** 3),
+                                     jnp.float32) * 0.01,
+        "mean": jax.random.normal(keys[1], (3 * SZ ** 3,),
+                                  jnp.float32) * 0.01,
+    }
+    params = pipe.init_params(keys[2], pca)
+    src = jax.random.uniform(keys[3], (B, 1, SZ, SZ, SZ), jnp.float32,
+                             -1000.0, 0.0)
+    tgt = jax.random.uniform(keys[4], (B, 1, SZ, SZ, SZ), jnp.float32,
+                             -1000.0, 0.0)
+    seg = jnp.ones((B, 1, SZ, SZ, SZ), jnp.float32)
+    path = str(tmp_path_factory.mktemp("serving") / "flagship.liftreg")
+    # CPU-only export in the test env (conftest forces the cpu platform;
+    # production exports default to ("tpu", "cpu"))
+    export_serving(pipe, params, pca, batch_size=B, out_path=path,
+                   platforms=("cpu",))
+    return {"path": path, "pipe": pipe, "params": params, "pca": pca,
+            "src": src, "tgt": tgt, "seg": seg}
+
+
+def test_artifact_matches_live_pipeline(artifact):
+    a = artifact
+    srv = ServingModel.load(a["path"])
+    w_live, phi_live = a["pipe"].register(a["params"], a["pca"], a["src"],
+                                          a["tgt"], a["seg"], a["seg"])
+    w_srv, phi_srv = srv.register(a["src"], a["tgt"], a["seg"], a["seg"])
+    np.testing.assert_array_equal(np.asarray(w_live), np.asarray(w_srv))
+    np.testing.assert_array_equal(np.asarray(phi_live), np.asarray(phi_srv))
+
+
+def test_partial_batch_padded_and_sliced(artifact):
+    a = artifact
+    srv = ServingModel.load(a["path"])
+    w_full, phi_full = srv.register(a["src"], a["tgt"], a["seg"], a["seg"])
+    w_one, phi_one = srv.register(a["src"][:1], a["tgt"][:1], a["seg"][:1],
+                                  a["seg"][:1])
+    assert w_one.shape[0] == 1 and phi_one.shape[0] == 1
+    # element 0 of a padded batch equals element 0 of the full batch: the
+    # fused program has no cross-batch coupling
+    np.testing.assert_allclose(np.asarray(w_one[0]), np.asarray(w_full[0]),
+                               atol=1e-6)
+    with pytest.raises(ValueError, match="outside"):
+        srv.register(jnp.concatenate([a["src"], a["src"]]), a["tgt"])
+
+
+def test_default_segs_are_ones(artifact):
+    a = artifact
+    srv = ServingModel.load(a["path"])
+    w_none, _ = srv.register(a["src"], a["tgt"])
+    w_ones, _ = srv.register(a["src"], a["tgt"], a["seg"], a["seg"])
+    np.testing.assert_array_equal(np.asarray(w_none), np.asarray(w_ones))
+
+
+def test_loader_needs_no_model_source(artifact, monkeypatch):
+    """The serving side must not construct the pipeline or model."""
+    import liftreg_tpu.pipeline as pipeline_mod
+
+    def _boom(*a, **k):
+        raise AssertionError("serving load constructed the pipeline")
+
+    monkeypatch.setattr(pipeline_mod.RegistrationPipeline, "__init__", _boom)
+    srv = ServingModel.load(artifact["path"])
+    w, phi = srv.register(artifact["src"], artifact["tgt"])
+    assert w.shape[0] == B and np.isfinite(np.asarray(phi)).all()
+
+
+def test_version_gate(artifact, tmp_path):
+    from flax import serialization
+
+    with open(artifact["path"], "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    payload["version"] = ARTIFACT_VERSION + 1
+    bad = tmp_path / "bad.liftreg"
+    bad.write_bytes(serialization.msgpack_serialize(payload))
+    with pytest.raises(ValueError, match="version"):
+        ServingModel.load(str(bad))
+
+
+def test_meta_recorded(artifact):
+    srv = ServingModel.load(artifact["path"])
+    assert srv.meta["img_sz"] == [SZ, SZ, SZ]
+    assert srv.batch_size == B
+    assert srv.platforms == ("cpu",)
+
+
+def test_multiplatform_artifact_serves_on_cpu(tmp_path):
+    """A ("tpu", "cpu") artifact — the production default — must lower for
+    both platforms from a CPU export host and still serve on CPU."""
+    pipe = RegistrationPipeline((SZ, SZ, SZ), latent_dim=LATENT)
+    keys = jax.random.split(jax.random.PRNGKey(3), 3)
+    pca = {"vectors": jax.random.normal(keys[0], (LATENT, 3 * SZ ** 3),
+                                        jnp.float32) * 0.01,
+           "mean": jnp.zeros((3 * SZ ** 3,), jnp.float32)}
+    params = pipe.init_params(keys[1], pca)
+    path = str(tmp_path / "multi.liftreg")
+    export_serving(pipe, params, pca, batch_size=1, out_path=path,
+                   platforms=("tpu", "cpu"))
+    srv = ServingModel.load(path)
+    assert srv.platforms == ("tpu", "cpu")
+    src = jax.random.uniform(keys[2], (1, 1, SZ, SZ, SZ), jnp.float32,
+                             -1000.0, 0.0)
+    w, phi = srv.register(src, src)
+    assert np.isfinite(np.asarray(w)).all()
+    assert phi.shape == (1, 3, SZ, SZ, SZ)
+
+
+@pytest.mark.slow
+def test_export_cli_from_trained_experiment(tmp_path):
+    """The CLI plumbing: config -> pipeline options, checkpoint -> weights.
+
+    Trains a 1-epoch 32^3 experiment, exports with
+    ``tools/export_serving.py -s``, and asserts the artifact's weights are
+    byte-equal to the checkpoint's (non-circular proof that the exported
+    program carries the TRAINED parameters, not a fresh init)."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from flax import serialization
+
+    from liftreg_tpu.train import RegistrationTrainer
+    from liftreg_tpu.utils.checkpoint import load_checkpoint
+
+    _sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from tools.make_synthetic_dataset import generate
+    from test_train_e2e import make_setting
+
+    data = str(tmp_path / "data")
+    generate(data, n_train=4, n_val=2, n_test=2, sz=32, n_proj=2, latent=4,
+             seed=0)
+    exp = str(tmp_path / "exp")
+    setting = make_setting(data, exp, epochs=1)
+    RegistrationTrainer(setting).run()
+    ckpt = os.path.join(exp, "checkpoints", "model_best.ckpt")
+    assert os.path.exists(ckpt)
+
+    # the CLI reads the full experiment config from disk, like eval_cli
+    import json
+    cfg_path = str(tmp_path / "cur_task_setting.json")
+    with open(cfg_path, "w") as f:
+        json.dump(setting, f)
+
+    art = str(tmp_path / "trained.liftreg")
+    repo = str(Path(__file__).resolve().parent.parent)
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "export_serving.py"),
+         "-s", cfg_path, "-o", art, "-b", "2", "--platforms", "cpu"],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    with open(art, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    ckpt_params = load_checkpoint(ckpt)["params"]
+    jax.tree_util.tree_map(np.testing.assert_array_equal,
+                           payload["params"], ckpt_params)
+
+    srv = ServingModel.load(art)
+    assert srv.meta["img_sz"] == [32, 32, 32]
+    src = jnp.full((1, 1, 32, 32, 32), -500.0, jnp.float32)
+    w, phi = srv.register(src, src)
+    assert np.isfinite(np.asarray(w)).all() and phi.shape[1] == 3
