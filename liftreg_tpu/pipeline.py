@@ -44,7 +44,7 @@ class RegistrationPipeline:
     def __init__(self, img_sz=(160, 160, 160), latent_dim=56, n_proj=4,
                  scan_range_deg=30.0, spacing=(2.2, 2.2, 2.2),
                  resolution=None, compute_dtype=None, s2d_encoder=False,
-                 pca_expand_pallas=False):
+                 pca_expand_pallas=False, mesh=None):
         self.img_sz = tuple(int(s) for s in img_sz)
         self.spacing = tuple(float(s) for s in spacing)
         self.resolution = tuple(resolution) if resolution is not None \
@@ -53,11 +53,19 @@ class RegistrationPipeline:
                                           self.img_sz[1])
         # serving config: a bf16 compute dtype also opts into the 1-gather
         # bf16-tap warp (the map stays f32; see resample._trilinear_oct_bf16)
+        # mesh: sharded batch serving — the warp shard_maps over the mesh's
+        # data axis so each chip warps only its own batch shard (the same
+        # option the trainer sets; resample.warp_image mesh docstring).
+        # Shard the inputs with parallel.shard_batch / batch_sharding and
+        # keep B divisible by the mesh size.
+        self.mesh = mesh
         self.model = LiftRegSubspaceBackproj(
             img_sz=self.img_sz, latent_dim=latent_dim,
             drr_feature_num=n_proj, compute_dtype=compute_dtype,
             warp_taps_dtype=compute_dtype, s2d_encoder=s2d_encoder,
-            pca_expand_pallas=pca_expand_pallas)
+            pca_expand_pallas=pca_expand_pallas,
+            mesh=mesh if mesh is not None and mesh.devices.size > 1
+            else None)
         self._register = jax.jit(self._register_impl)
 
     def init_params(self, rng_key, pca):
