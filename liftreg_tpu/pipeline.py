@@ -44,7 +44,9 @@ class RegistrationPipeline:
     def __init__(self, img_sz=(160, 160, 160), latent_dim=56, n_proj=4,
                  scan_range_deg=30.0, spacing=(2.2, 2.2, 2.2),
                  resolution=None, compute_dtype=None, s2d_encoder=False,
-                 pca_expand_pallas=False, mesh=None):
+                 pca_expand_pallas=False, mesh=None, refine_steps=0,
+                 refine_lr=0.05, refine_sim="ncc", refine_sim_opts=None,
+                 refine_reg_factor=1e-3):
         self.img_sz = tuple(int(s) for s in img_sz)
         self.spacing = tuple(float(s) for s in spacing)
         self.resolution = tuple(resolution) if resolution is not None \
@@ -66,6 +68,18 @@ class RegistrationPipeline:
             pca_expand_pallas=pca_expand_pallas,
             mesh=mesh if mesh is not None and mesh.devices.size > 1
             else None)
+        # optional instance refinement (refine.py): refine_steps > 0 rolls
+        # an adam loop over the latent coefficients into the SAME jitted
+        # program — amortized prediction + per-case optimization, one
+        # compile. 0 (default) leaves the program untouched.
+        self._refiner = None
+        if refine_steps:
+            from .refine import make_refiner
+            self._refiner = make_refiner(
+                self.img_sz, sim=refine_sim, sim_opts=refine_sim_opts,
+                n_steps=int(refine_steps), lr=refine_lr,
+                reg_factor=refine_reg_factor,
+                warp_taps_dtype=compute_dtype)
         self._register = jax.jit(self._register_impl)
 
     def init_params(self, rng_key, pca):
@@ -101,6 +115,20 @@ class RegistrationPipeline:
             inputs["source_label"] = source_seg
             inputs["target_label"] = target_seg
         out = self.model.apply(params, inputs, pca)
+        if self._refiner is not None:
+            # continue the training objective per case, starting from the
+            # encoder's amortized prediction; the refine scan inlines into
+            # this same program. The pair matches what the model's sim saw
+            # in training (lung-masked when mask_ct).
+            from .models.subspace_backproj import mask_lung
+            if self.model.mask_ct and "source_label" in inputs:
+                moving_cp = mask_lung(inputs["source"],
+                                      inputs["source_label"])
+            else:
+                moving_cp = inputs["source"]
+            res = self._refiner(out["pca_coefs"], pca, moving_cp,
+                                out["target"])
+            return res["warped"], res["phi"]
         return out["warped"], out["phi"]
 
     def register(self, params, pca, source_hu, target_hu, source_seg=None,
