@@ -129,6 +129,42 @@ def test_multiplatform_artifact_serves_on_cpu(tmp_path):
     assert phi.shape == (1, 3, SZ, SZ, SZ)
 
 
+def test_serve_batch_cli(artifact, tmp_path):
+    """tools/serve_batch.py: 3 cases through a B=2 artifact (one full +
+    one partial dispatch); outputs match direct ServingModel calls."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    inp, out = tmp_path / "cases", tmp_path / "out"
+    inp.mkdir()
+    rng = np.random.default_rng(11)
+    vols = {}
+    for cid in ("case1", "case2", "case3"):
+        s = rng.uniform(-1000, 0, (SZ, SZ, SZ)).astype(np.float32)
+        t = rng.uniform(-1000, 0, (SZ, SZ, SZ)).astype(np.float32)
+        np.save(inp / f"{cid}_source.npy", s)
+        np.save(inp / f"{cid}_target.npy", t)
+        vols[cid] = (s, t)
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "serve_batch.py"),
+         "-a", artifact["path"], "-i", str(inp), "-o", str(out)],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+
+    srv = ServingModel.load(artifact["path"])
+    for cid, (s, t) in vols.items():
+        w = np.load(out / f"{cid}_warped.npy")
+        phi = np.load(out / f"{cid}_phi.npy")
+        assert w.shape == (1, SZ, SZ, SZ) and phi.shape == (3, SZ, SZ, SZ)
+        w_ref, phi_ref = srv.register(jnp.asarray(s)[None, None],
+                                      jnp.asarray(t)[None, None])
+        np.testing.assert_allclose(w, np.asarray(w_ref[0]), atol=1e-6)
+        np.testing.assert_allclose(phi, np.asarray(phi_ref[0]), atol=1e-6)
+
+
 @pytest.mark.slow
 def test_export_cli_from_trained_experiment(tmp_path):
     """The CLI plumbing: config -> pipeline options, checkpoint -> weights.
