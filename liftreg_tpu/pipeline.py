@@ -73,6 +73,7 @@ class RegistrationPipeline:
         # program — amortized prediction + per-case optimization, one
         # compile. 0 (default) leaves the program untouched.
         self._refiner = None
+        self.refine_steps = int(refine_steps)
         if refine_steps:
             from .refine import make_refiner
             self._refiner = make_refiner(

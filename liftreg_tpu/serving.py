@@ -84,6 +84,7 @@ def export_serving(pipe, params, pca, batch_size: int, out_path: str,
             "platforms": list(platforms),
             "compute_dtype": (np.dtype(compute_dtype).name
                               if compute_dtype is not None else ""),
+            "refine_steps": int(getattr(pipe, "refine_steps", 0)),
         },
     }
     blob = serialization.msgpack_serialize(payload, in_place=True)

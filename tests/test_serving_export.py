@@ -129,6 +129,30 @@ def test_multiplatform_artifact_serves_on_cpu(tmp_path):
     assert phi.shape == (1, 3, SZ, SZ, SZ)
 
 
+def test_refined_artifact_beats_unrefined(artifact, tmp_path):
+    """A pipeline with refine_steps exports the fused refinement loop too;
+    the refined artifact must beat the plain one's masked-pair NCC."""
+    from liftreg_tpu.losses.similarity import ncc_loss
+    from liftreg_tpu.models.subspace_backproj import mask_lung
+    from liftreg_tpu.pipeline import normalize_hu
+
+    a = artifact
+    pipe_r = RegistrationPipeline((SZ, SZ, SZ), latent_dim=LATENT,
+                                  refine_steps=25, refine_lr=0.1)
+    path = str(tmp_path / "refined.liftreg")
+    export_serving(pipe_r, a["params"], a["pca"], batch_size=B,
+                   out_path=path, platforms=("cpu",))
+    srv_r = ServingModel.load(path)
+    assert srv_r.meta["refine_steps"] == 25
+
+    srv0 = ServingModel.load(a["path"])
+    assert srv0.meta["refine_steps"] == 0
+    w0, _ = srv0.register(a["src"], a["tgt"], a["seg"], a["seg"])
+    w1, _ = srv_r.register(a["src"], a["tgt"], a["seg"], a["seg"])
+    target_cp = mask_lung(normalize_hu(a["tgt"]), a["seg"])
+    assert float(ncc_loss(w1, target_cp)) < float(ncc_loss(w0, target_cp))
+
+
 def test_serve_batch_cli(artifact, tmp_path):
     """tools/serve_batch.py: 3 cases through a B=2 artifact (one full +
     one partial dispatch); outputs match direct ServingModel calls."""

@@ -38,6 +38,10 @@ def main():
     ap.add_argument("--demo", type=int, default=0, metavar="SZ",
                     help="export a randomly-initialized SZ^3 model instead "
                          "of a trained experiment (smoke testing)")
+    ap.add_argument("--refine_steps", type=int, default=0,
+                    help="bake N steps of per-case latent refinement into "
+                         "the exported program (refine.py)")
+    ap.add_argument("--refine_lr", type=float, default=0.05)
     args = ap.parse_args()
 
     import jax
@@ -49,9 +53,13 @@ def main():
 
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
 
+    refine_kw = dict(refine_steps=args.refine_steps,
+                     refine_lr=args.refine_lr)
+
     if args.demo:
         sz, latent = int(args.demo), 8
-        pipe = RegistrationPipeline((sz, sz, sz), latent_dim=latent)
+        pipe = RegistrationPipeline((sz, sz, sz), latent_dim=latent,
+                                    **refine_kw)
         keys = jax.random.split(jax.random.PRNGKey(0), 3)
         pca = {"vectors": jax.random.normal(
                    keys[0], (latent, 3 * sz ** 3), jnp.float32) * 0.01,
@@ -76,6 +84,18 @@ def main():
             if hasattr(ds_cfg, "as_dict") else dict(ds_cfg)
         img_sz = tuple(ds_cfg.get("img_after_resize", (160, 160, 160)))
 
+        if args.refine_steps:
+            # refinement continues the TRAINING objective: take the sim
+            # and converged reg factor from the experiment's loss config
+            loss_cfg = train_setting["loss"]
+            loss_cfg = loss_cfg.as_dict() \
+                if hasattr(loss_cfg, "as_dict") else dict(loss_cfg)
+            refine_kw.update(
+                refine_sim=loss_cfg.get("sim_class", "ncc"),
+                refine_sim_opts=loss_cfg.get("sim_opts", None),
+                refine_reg_factor=float(loss_cfg.get("min_reg_factor",
+                                                     1e-3)))
+
         bf16 = jnp.bfloat16
         pipe = RegistrationPipeline(
             img_sz,
@@ -84,7 +104,7 @@ def main():
             compute_dtype=bf16
             if model_cfg.get("compute_dtype") == "bfloat16" else None,
             s2d_encoder=str(model_cfg.get("s2d_encoder", "")).lower()
-            in ("true", "1", "yes"))
+            in ("true", "1", "yes"), **refine_kw)
 
         pca = load_pca(model_cfg["pca_path"],
                        dtype=bf16 if model_cfg.get("pca_dtype") == "bfloat16"
