@@ -3,6 +3,9 @@
 Mirrors the reference's ``eval.py``: loads a saved experiment config, forces
 test mode with the best checkpoint, saves figures/3D artifacts + deformation
 maps, then runs the DirLab landmark TRE evaluation (``eval.py:35-49``).
+
+To additionally score per-case latent refinement (amortized vs refined
+TRE side by side), use ``tools/refine_eval.py`` with the same setting file.
 """
 import argparse
 import os

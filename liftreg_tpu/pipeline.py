@@ -44,7 +44,8 @@ class RegistrationPipeline:
     def __init__(self, img_sz=(160, 160, 160), latent_dim=56, n_proj=4,
                  scan_range_deg=30.0, spacing=(2.2, 2.2, 2.2),
                  resolution=None, compute_dtype=None, s2d_encoder=False,
-                 pca_expand_pallas=False, mesh=None, refine_steps=0,
+                 pca_expand_pallas=False, mesh=None, mask_ct=True,
+                 warp_taps_dtype="auto", refine_steps=0,
                  refine_lr=0.05, refine_sim="ncc", refine_sim_opts=None,
                  refine_reg_factor=1e-3):
         self.img_sz = tuple(int(s) for s in img_sz)
@@ -55,17 +56,23 @@ class RegistrationPipeline:
                                           self.img_sz[1])
         # serving config: a bf16 compute dtype also opts into the 1-gather
         # bf16-tap warp (the map stays f32; see resample._trilinear_oct_bf16)
+        # unless warp_taps_dtype overrides it (the trainer allows bf16 taps
+        # with an f32 encoder and vice versa — match the experiment).
         # mesh: sharded batch serving — the warp shard_maps over the mesh's
         # data axis so each chip warps only its own batch shard (the same
         # option the trainer sets; resample.warp_image mesh docstring).
         # Shard the inputs with parallel.shard_batch / batch_sharding and
         # keep B divisible by the mesh size.
+        # mask_ct: must match the experiment's model.mask_ct — it changes
+        # which pair the warp (and the refinement objective) sees.
         self.mesh = mesh
+        if warp_taps_dtype == "auto":
+            warp_taps_dtype = compute_dtype
         self.model = LiftRegSubspaceBackproj(
             img_sz=self.img_sz, latent_dim=latent_dim,
             drr_feature_num=n_proj, compute_dtype=compute_dtype,
-            warp_taps_dtype=compute_dtype, s2d_encoder=s2d_encoder,
-            pca_expand_pallas=pca_expand_pallas,
+            warp_taps_dtype=warp_taps_dtype, s2d_encoder=s2d_encoder,
+            pca_expand_pallas=pca_expand_pallas, mask_ct=mask_ct,
             mesh=mesh if mesh is not None and mesh.devices.size > 1
             else None)
         # optional instance refinement (refine.py): refine_steps > 0 rolls
@@ -80,7 +87,8 @@ class RegistrationPipeline:
                 self.img_sz, sim=refine_sim, sim_opts=refine_sim_opts,
                 n_steps=int(refine_steps), lr=refine_lr,
                 reg_factor=refine_reg_factor,
-                warp_taps_dtype=compute_dtype)
+                warp_taps_dtype=warp_taps_dtype,
+                mesh=self.model.mesh)
         self._register = jax.jit(self._register_impl)
 
     def init_params(self, rng_key, pca):

@@ -38,7 +38,7 @@ from .ops import resample
 
 
 def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
-                 reg_factor=1e-3, warp_taps_dtype=None):
+                 reg_factor=1e-3, warp_taps_dtype=None, mesh=None):
     """Build a jitted refinement function for one volume geometry.
 
     Args:
@@ -52,6 +52,9 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
         ``SubspaceLoss`` at its converged (minimum) factor by default.
       warp_taps_dtype: forwarded to the warp (bf16 selects the 1-gather
         serving path; None = f32-exact).
+      mesh: forwarded to the warp for mesh-sharded batches — without it a
+        sharded batch hits the per-element GSPMD broadcast pathology on
+        every scan step (``resample.warp_image`` mesh docstring).
 
     Returns:
       ``refine(coefs0, pca, moving, target) -> dict`` with keys
@@ -72,14 +75,14 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
         phi = disp + identity_map(img_sz)[None]
         warped = resample.warp_image(moving, phi, zero_boundary=True,
                                      scale_intensity=True,
-                                     taps_dtype=warp_taps_dtype)
+                                     taps_dtype=warp_taps_dtype, mesh=mesh)
         return disp, phi, warped
 
     def _losses(coefs, pca, moving, target):
-        disp, _, warped = _forward(coefs, pca, moving)
+        disp, phi, warped = _forward(coefs, pca, moving)
         sim_loss = sim_fn(warped, target)
         total = sim_loss + reg_factor * displacement_reg(disp)
-        return total, sim_loss
+        return total, (sim_loss, phi, warped)
 
     @jax.jit
     def refine(coefs0, pca, moving, target):
@@ -88,7 +91,7 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
 
         def step(carry, _):
             z, opt_state = carry
-            (total, sim_loss), g = grad_fn(z)
+            (total, (sim_loss, _, _)), g = grad_fn(z)
             updates, opt_state = tx.update(g, opt_state, z)
             z = optax.apply_updates(z, updates)
             return (z, opt_state), (total, sim_loss)
@@ -97,9 +100,10 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
         (z, _), (totals, sims) = jax.lax.scan(
             step, (coefs0, tx.init(coefs0)), None, length=n_steps)
         # the scan's step-i losses are evaluated BEFORE update i, so the
-        # history starts at the unrefined objective; append the final one
-        final_total, final_sim = _losses(z, pca, moving, target)
-        _, phi, warped = _forward(z, pca, moving)
+        # history starts at the unrefined objective; one final evaluation
+        # appends the refined loss and yields phi/warped (single forward)
+        final_total, (final_sim, phi, warped) = _losses(z, pca, moving,
+                                                        target)
         return {
             "coefs": z,
             "phi": phi,

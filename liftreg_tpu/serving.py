@@ -109,6 +109,7 @@ class ServingModel:
         self._exported = exported
         self._params = params
         self._pca = pca
+        self._weights_on_device = False
         self.meta = meta
         self.batch_size = int(meta["batch_size"])
         self.img_sz = tuple(int(s) for s in meta["img_sz"])
@@ -116,6 +117,16 @@ class ServingModel:
         # first call (cacheable via jax_compilation_cache_dir like any
         # other program)
         self._call = jax.jit(exported.call)
+
+    def _commit_weights(self):
+        """Device-put params + PCA once, lazily on the first register():
+        numpy args to a jitted call re-transfer host->device on EVERY
+        dispatch, and the PCA basis alone is ~1.2-2.7 GB at 160^3. Lazy so
+        ``load`` stays device-free for artifact inspection."""
+        if not self._weights_on_device:
+            self._params = jax.device_put(self._params)
+            self._pca = jax.device_put(self._pca)
+            self._weights_on_device = True
 
     @classmethod
     def load(cls, path: str) -> "ServingModel":
@@ -140,6 +151,15 @@ class ServingModel:
             raise ValueError(
                 f"batch {b_in} outside [1, {self.batch_size}] — this "
                 f"artifact was exported for batch_size={self.batch_size}")
+        expect = (b_in, 1) + self.img_sz
+        for name, arr in (("source_hu", source_hu), ("target_hu", target_hu),
+                          ("source_seg", source_seg),
+                          ("target_seg", target_seg)):
+            if arr is not None and tuple(np.shape(arr)) != expect:
+                raise ValueError(
+                    f"{name} shape {tuple(np.shape(arr))} != {expect} "
+                    f"(artifact img_sz {self.img_sz}, batch {b_in})")
+        self._commit_weights()
         if source_seg is None:
             source_seg = jnp.ones_like(source_hu)
         if target_seg is None:

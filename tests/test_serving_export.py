@@ -186,7 +186,10 @@ def test_serve_batch_cli(artifact, tmp_path):
         w_ref, phi_ref = srv.register(jnp.asarray(s)[None, None],
                                       jnp.asarray(t)[None, None])
         np.testing.assert_allclose(w, np.asarray(w_ref[0]), atol=1e-6)
-        np.testing.assert_allclose(phi, np.asarray(phi_ref[0]), atol=1e-6)
+        # serve_batch writes the repo-wide [0,1] _phi.npy convention
+        # (io_utils.save_deformations), not the model's [-1,1] map
+        np.testing.assert_allclose(phi, (np.asarray(phi_ref[0]) + 1.0) / 2.0,
+                                   atol=1e-6)
 
 
 @pytest.mark.slow

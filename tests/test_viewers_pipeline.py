@@ -115,3 +115,69 @@ def test_fused_pipeline_mesh_sharded_serving():
     np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-5)
     np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_ref),
                                atol=1e-6)
+
+
+def test_pipeline_mask_ct_off_ignores_segs():
+    """mask_ct=False must serve the raw-CT pair: segs can't change the
+    warp input (regression for the export tool dropping model.mask_ct)."""
+    from liftreg_tpu.pipeline import RegistrationPipeline
+
+    sz, latent = 16, 4
+    rng = np.random.default_rng(5)
+    pca = {"vectors": jnp.asarray(
+        rng.normal(size=(latent, 3 * sz ** 3)).astype(np.float32) * 0.01),
+        "mean": jnp.zeros((3 * sz ** 3,), jnp.float32)}
+    src = jnp.asarray(rng.uniform(-1000, 0, (1, 1, sz, sz, sz))
+                      .astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-1000, 0, (1, 1, sz, sz, sz))
+                      .astype(np.float32))
+    ones = jnp.ones((1, 1, sz, sz, sz), jnp.float32)
+    half = ones.at[:, :, :8].set(0.0)
+
+    raw = RegistrationPipeline((sz, sz, sz), latent_dim=latent, n_proj=2,
+                               mask_ct=False)
+    params = raw.init_params(jax.random.PRNGKey(0), pca)
+    w_ones, _ = raw.register(params, pca, src, tgt, ones, ones)
+    w_half, _ = raw.register(params, pca, src, tgt, half, half)
+    np.testing.assert_array_equal(np.asarray(w_ones), np.asarray(w_half))
+
+    masked = RegistrationPipeline((sz, sz, sz), latent_dim=latent, n_proj=2)
+    w_m, _ = masked.register(params, pca, src, tgt, half, half)
+    assert np.abs(np.asarray(w_m) - np.asarray(w_half)).max() > 1e-3
+
+
+def test_pipeline_mesh_and_refine_compose():
+    """mesh + refine_steps together: the refiner's warp gets the mesh
+    (regression: it used to rebuild the warp unsharded) and the result
+    matches the single-device refined pipeline to float epsilon."""
+    from liftreg_tpu.parallel import make_mesh, batch_sharding
+    from liftreg_tpu.pipeline import RegistrationPipeline
+
+    sz, latent = 16, 4
+    mesh = make_mesh()
+    B = mesh.devices.size
+    rng = np.random.default_rng(6)
+    pca = {"vectors": jnp.asarray(
+        rng.normal(size=(latent, 3 * sz ** 3)).astype(np.float32) * 0.01),
+        "mean": jnp.zeros((3 * sz ** 3,), jnp.float32)}
+    src = jnp.asarray(rng.uniform(-1000, 0, (B, 1, sz, sz, sz))
+                      .astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-1000, 0, (B, 1, sz, sz, sz))
+                      .astype(np.float32))
+    seg = jnp.ones((B, 1, sz, sz, sz), jnp.float32)
+
+    plain = RegistrationPipeline((sz, sz, sz), latent_dim=latent, n_proj=2,
+                                 refine_steps=5, refine_lr=0.1)
+    params = plain.init_params(jax.random.PRNGKey(0), pca)
+    w_ref, phi_ref = plain.register(params, pca, src, tgt, seg, seg)
+
+    sharded = RegistrationPipeline((sz, sz, sz), latent_dim=latent,
+                                   n_proj=2, mesh=mesh, refine_steps=5,
+                                   refine_lr=0.1)
+    assert sharded._refiner is not None and sharded.model.mesh is mesh
+    sh = batch_sharding(mesh)
+    args = [jax.device_put(x, sh) for x in (src, tgt, seg, seg)]
+    w, phi = sharded.register(params, pca, *args)
+    np.testing.assert_allclose(np.asarray(w), np.asarray(w_ref), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(phi), np.asarray(phi_ref),
+                               atol=1e-5)

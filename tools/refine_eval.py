@@ -58,7 +58,9 @@ def main():
     refiner = make_refiner(
         trainer.img_sz, sim=loss_cfg.get("sim_class", "ncc"),
         sim_opts=loss_cfg.get("sim_opts", None), n_steps=args.steps,
-        lr=args.lr, reg_factor=reg_factor)
+        lr=args.lr, reg_factor=reg_factor,
+        warp_taps_dtype=trainer.model.warp_taps_dtype,
+        mesh=trainer.model.mesh)
 
     exp = setting["train"]["output_path"]
     base_tests = os.path.join(exp, "tests")
@@ -94,6 +96,11 @@ def main():
     dim = tuple(ds_cfg.get("img_after_resize", (160, 160, 160)))
     table = {str(n): [args.iso_spacing] * 3 for n in all_names} \
         if args.iso_spacing else None
+
+    if sim_drops:
+        d0 = float(np.mean([a for a, _ in sim_drops]))
+        d1 = float(np.mean([b for _, b in sim_drops]))
+        print(f"\nmean sim loss over test batches: {d0:.4f} -> {d1:.4f}")
 
     print("\n== amortized prediction ==")
     base = eval_copd_highres(data_path, exp, spacing_table=table, dim=dim)

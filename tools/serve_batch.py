@@ -11,7 +11,10 @@ exported batch size per dispatch::
 Case layout: ``<id>_source.npy`` + ``<id>_target.npy`` HU volumes
 (D, W, H) or (1, D, W, H), with optional ``<id>_source_seg.npy`` /
 ``<id>_target_seg.npy`` masks. Outputs ``<id>_warped.npy`` and
-``<id>_phi.npy`` ([-1, 1] map, (3, D, W, H)).
+``<id>_phi.npy`` — phis rescaled to [0, 1] like every other ``_phi.npy``
+in this repo (``io_utils.save_deformations``), so an output directory is
+directly scoreable by the TRE evaluator (``utils/tre.eval_copd_highres``
+reads ``<exp>/tests``).
 
 The reference has no serving entry point at all — deployment means
 re-running its eval stack from source (``eval.py:35-49``).
@@ -80,6 +83,8 @@ def main():
         tseg = np.stack([seg_or_ones(i, "target") for i in chunk])
         warped, phi = srv.register(src, tgt, sseg, tseg)
         warped, phi = np.asarray(warped), np.asarray(phi)
+        # repo-wide _phi.npy convention: [0, 1] (save_deformations)
+        phi = (phi + 1.0) / 2.0
         for k, cid in enumerate(chunk):
             np.save(os.path.join(args.out, cid + "_warped.npy"), warped[k])
             np.save(os.path.join(args.out, cid + "_phi.npy"), phi[k])
