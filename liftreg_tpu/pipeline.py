@@ -47,7 +47,7 @@ class RegistrationPipeline:
                  pca_expand_pallas=False, mesh=None, mask_ct=True,
                  warp_taps_dtype="auto", refine_steps=0,
                  refine_lr=0.05, refine_sim="ncc", refine_sim_opts=None,
-                 refine_reg_factor=1e-3):
+                 refine_reg_factor=1e-3, refine_domain="image"):
         self.img_sz = tuple(int(s) for s in img_sz)
         self.spacing = tuple(float(s) for s in spacing)
         self.resolution = tuple(resolution) if resolution is not None \
@@ -79,17 +79,36 @@ class RegistrationPipeline:
         # an adam loop over the latent coefficients into the SAME jitted
         # program — amortized prediction + per-case optimization, one
         # compile. 0 (default) leaves the program untouched.
+        # refine_domain "image": objective is sim(warped CT, target CT) —
+        # training's SubspaceLoss continued per case (needs the target CT).
+        # refine_domain "projection": objective is sim(DRR(warped
+        # attenuation), target projections) — the CBCT-free deployment
+        # scenario; also powers register_projections (no target CT at all).
         self._refiner = None
         self.refine_steps = int(refine_steps)
+        self.refine_domain = refine_domain
         if refine_steps:
-            from .refine import make_refiner
-            self._refiner = make_refiner(
-                self.img_sz, sim=refine_sim, sim_opts=refine_sim_opts,
-                n_steps=int(refine_steps), lr=refine_lr,
-                reg_factor=refine_reg_factor,
-                warp_taps_dtype=warp_taps_dtype,
-                mesh=self.model.mesh)
+            if refine_domain == "image":
+                from .refine import make_refiner
+                self._refiner = make_refiner(
+                    self.img_sz, sim=refine_sim, sim_opts=refine_sim_opts,
+                    n_steps=int(refine_steps), lr=refine_lr,
+                    reg_factor=refine_reg_factor,
+                    warp_taps_dtype=warp_taps_dtype,
+                    mesh=self.model.mesh)
+            elif refine_domain == "projection":
+                from .refine import make_projection_refiner
+                self._refiner = make_projection_refiner(
+                    self.img_sz, self.poses, self.resolution, self.spacing,
+                    sim=refine_sim, sim_opts=refine_sim_opts,
+                    n_steps=int(refine_steps), lr=refine_lr,
+                    reg_factor=refine_reg_factor, proj_norm="drr")
+            else:
+                raise ValueError(f"refine_domain {refine_domain!r} not in "
+                                 f"('image', 'projection')")
+        self._warp_taps_dtype = warp_taps_dtype
         self._register = jax.jit(self._register_impl)
+        self._register_proj = jax.jit(self._register_proj_impl)
 
     def init_params(self, rng_key, pca):
         B = 1
@@ -125,19 +144,57 @@ class RegistrationPipeline:
             inputs["target_label"] = target_seg
         out = self.model.apply(params, inputs, pca)
         if self._refiner is not None:
-            # continue the training objective per case, starting from the
-            # encoder's amortized prediction; the refine scan inlines into
-            # this same program. The pair matches what the model's sim saw
-            # in training (lung-masked when mask_ct).
-            from .models.subspace_backproj import mask_lung
-            if self.model.mask_ct and "source_label" in inputs:
-                moving_cp = mask_lung(inputs["source"],
-                                      inputs["source_label"])
-            else:
-                moving_cp = inputs["source"]
-            res = self._refiner(out["pca_coefs"], pca, moving_cp,
-                                out["target"])
+            return self._refine_tail(out, pca, source_hu, inputs)
+        return out["warped"], out["phi"]
+
+    def _moving_cp(self, inputs):
+        from .models.subspace_backproj import mask_lung
+        if self.model.mask_ct and "source_label" in inputs:
+            return mask_lung(inputs["source"], inputs["source_label"])
+        return inputs["source"]
+
+    def _refine_tail(self, out, pca, source_hu, inputs):
+        """Continue the objective per case from the encoder's amortized
+        prediction; the refine scan inlines into the same program."""
+        if self.refine_domain == "image":
+            # training's pair: lung-masked CT when mask_ct
+            res = self._refiner(out["pca_coefs"], pca,
+                                self._moving_cp(inputs), out["target"])
             return res["warped"], res["phi"]
+        # projection domain: match the measured/simulated projections with
+        # the DRR of the warped attenuation volume — no target CT read
+        moving_atten = drr.calc_relative_atten_coef(source_hu)
+        res = self._refiner(out["pca_coefs"], pca, moving_atten,
+                            inputs["target_proj"])
+        # keep register()'s output contract: the warped (masked,
+        # normalized) CT under the refined map, not warped attenuation
+        from .ops import resample
+        warped = resample.warp_image(
+            self._moving_cp(inputs), res["phi"], zero_boundary=True,
+            scale_intensity=True, taps_dtype=self._warp_taps_dtype,
+            mesh=self.model.mesh)
+        return warped, res["phi"]
+
+    def _register_proj_impl(self, params, pca, source_hu, target_proj,
+                            source_seg):
+        """Registration WITHOUT a target CT: the model's encoder only sees
+        the moving CT and the lifted target projections (the reference's
+        deployment premise, ``README.md:2-11``); the target volume enters
+        training-time code paths only as an output echo, so zeros stand in
+        for it here."""
+        inputs = {
+            "source": normalize_hu(source_hu),
+            "target": jnp.zeros_like(source_hu),
+            "target_proj": target_proj,
+            "target_poses": jnp.asarray(self.poses)[None],
+            "spacing": jnp.asarray(self.spacing)[None],
+        }
+        if source_seg is not None:
+            inputs["source_label"] = source_seg
+            inputs["target_label"] = jnp.ones_like(source_seg)
+        out = self.model.apply(params, inputs, pca)
+        if self._refiner is not None and self.refine_domain == "projection":
+            return self._refine_tail(out, pca, source_hu, inputs)
         return out["warped"], out["phi"]
 
     def register(self, params, pca, source_hu, target_hu, source_seg=None,
@@ -146,3 +203,14 @@ class RegistrationPipeline:
         segs optional (B, 1, D, W, H) in {0,1}. Returns (warped, phi)."""
         return self._register(params, pca, source_hu, target_hu,
                               source_seg, target_seg)
+
+    def register_projections(self, params, pca, source_hu, target_proj,
+                             source_seg=None):
+        """Register from measured projections only — no target CT exists at
+        serving time (CBCT-free scenario). ``target_proj``: (B, P, pw, ph)
+        in the dataset's normalized DRR convention (``normalize_drr``).
+        With ``refine_steps`` and ``refine_domain="projection"``, per-case
+        refinement against those projections is fused in. Returns
+        ``(warped, phi)`` (same contract as :meth:`register`)."""
+        return self._register_proj(params, pca, source_hu, target_proj,
+                                   source_seg)

@@ -34,7 +34,7 @@ from .coords import identity_map
 from .losses.registration import displacement_reg
 from .losses.similarity import get_similarity
 from .models.subspace_backproj import expand_pca
-from .ops import resample
+from .ops import drr, resample
 
 
 def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
@@ -104,6 +104,104 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
         # appends the refined loss and yields phi/warped (single forward)
         final_total, (final_sim, phi, warped) = _losses(z, pca, moving,
                                                         target)
+        return {
+            "coefs": z,
+            "phi": phi,
+            "warped": warped,
+            "total_history": jnp.concatenate([totals, final_total[None]]),
+            "sim_history": jnp.concatenate([sims, final_sim[None]]),
+        }
+
+    return refine
+
+
+def make_projection_refiner(img_sz, poses, resolution,
+                            spacing=(2.2, 2.2, 2.2), sim="ncc",
+                            sim_opts=None, n_steps=30, lr=0.05,
+                            reg_factor=1e-3, proj_norm="drr"):
+    """Projection-domain refinement: no target CT needed at serving time.
+
+    The deployment scenario for 2D/3D registration is CBCT-free treatment
+    verification — at serving time only the measured 2D projections of the
+    current anatomy exist (reference ``README.md:2-11``), not a target CT.
+    This refiner optimizes the latent so the DRR of the warped ATTENUATION
+    volume matches the measured projections: each step differentiates
+    through the PCA expansion, the warp, and the MXU projector
+    (``ops/drr.py``, differentiable per ``tests/test_drr_grad.py``).
+
+    Args:
+      img_sz: (D, W, H).
+      poses: (P, 3) emitter poses (``drr.synthesize_poses`` or geometry
+        CSV), static.
+      resolution: (pw, ph) detector resolution.
+      spacing: voxel spacing (mm).
+      sim / sim_opts / n_steps / lr / reg_factor: as :func:`make_refiner`.
+      proj_norm: normalization applied to the simulated projections before
+        the similarity — must match how the target projections were
+        produced. ``"drr"``: clip [0,6] -> [-1,1] (the dataset's /
+        pipeline's convention, ``Registration2D3DDataset.py:95-96``);
+        ``"minmax"``: per-batch min-max -> [-1,1] (RegNet re-projection
+        convention, ``RegNet2D3D.py:170``); ``None``: raw line integrals.
+
+    Returns:
+      ``refine(coefs0, pca, moving_atten, target_proj) -> dict`` (same
+      keys as :func:`make_refiner`). ``moving_atten``: (B, 1, D, W, H)
+      linear attenuation of the moving CT
+      (``drr.calc_relative_atten_coef``); ``target_proj``: (B, P, pw, ph)
+      normalized per ``proj_norm``. The returned ``warped`` is the warped
+      attenuation volume.
+    """
+    img_sz = tuple(int(s) for s in img_sz)
+    resolution = tuple(int(r) for r in resolution)
+    spacing = tuple(float(s) for s in spacing)
+    sim_fn = get_similarity(sim)
+    if sim_opts:
+        sim_fn = functools.partial(sim_fn, **dict(sim_opts))
+    tx = optax.adam(lr)
+
+    def _normalize(p):
+        if proj_norm == "drr":
+            return jnp.clip(p, 0.0, 6.0) / 6.0 * 2.0 - 1.0
+        if proj_norm == "minmax":
+            lo, hi = jnp.min(p), jnp.max(p)
+            return (p - lo) / (hi - lo) * 2.0 - 1.0
+        return p
+
+    def _forward(coefs, pca, moving_atten):
+        disp = expand_pca(coefs, pca["vectors"], pca["mean"], img_sz)
+        phi = disp + identity_map(img_sz)[None]
+        # attenuation is nonnegative physical density — no [-1,1]
+        # intensity shift around the warp
+        warped = resample.warp_image(moving_atten, phi, zero_boundary=True,
+                                     scale_intensity=False)
+        proj = drr.project(warped[:, 0], poses, resolution, spacing)
+        return disp, phi, warped, _normalize(proj)
+
+    def _losses(coefs, pca, moving_atten, target_proj):
+        disp, phi, warped, proj = _forward(coefs, pca, moving_atten)
+        sim_loss = sim_fn(proj, target_proj)
+        total = sim_loss + reg_factor * displacement_reg(disp)
+        return total, (sim_loss, phi, warped)
+
+    @jax.jit
+    def refine(coefs0, pca, moving_atten, target_proj):
+        grad_fn = jax.value_and_grad(
+            lambda z: _losses(z, pca, moving_atten, target_proj),
+            has_aux=True)
+
+        def step(carry, _):
+            z, opt_state = carry
+            (total, (sim_loss, _, _)), g = grad_fn(z)
+            updates, opt_state = tx.update(g, opt_state, z)
+            z = optax.apply_updates(z, updates)
+            return (z, opt_state), (total, sim_loss)
+
+        coefs0 = coefs0.astype(jnp.float32)
+        (z, _), (totals, sims) = jax.lax.scan(
+            step, (coefs0, tx.init(coefs0)), None, length=n_steps)
+        final_total, (final_sim, phi, warped) = _losses(z, pca,
+                                                        moving_atten,
+                                                        target_proj)
         return {
             "coefs": z,
             "phi": phi,

@@ -127,3 +127,115 @@ def test_pipeline_refinement_improves_similarity():
     sim0 = float(ncc_loss(w0, target_cp))
     sim1 = float(ncc_loss(w1, target_cp))
     assert sim1 < sim0, (sim0, sim1)
+
+
+def _project_normalized(vol_atten, poses, resolution, spacing):
+    from liftreg_tpu.ops import drr
+    p = drr.project(vol_atten[:, 0], poses, resolution, spacing)
+    return jnp.clip(p, 0.0, 6.0) / 6.0 * 2.0 - 1.0
+
+
+def test_projection_refiner_recovers_subspace_warp():
+    """CBCT-free refinement: only the target's 2D projections constrain
+    the optimization, yet the latent must move toward the ground truth."""
+    from liftreg_tpu.ops import drr
+    from liftreg_tpu.refine import make_projection_refiner
+
+    pca, moving, target, z_true = _problem(4)
+    poses = drr.synthesize_poses(30.0, 4, SZ)
+    resolution = (24, 24)
+    spacing = (2.2, 2.2, 2.2)
+    # moving in [-1,1] -> HU -> attenuation; ground-truth projections are
+    # the DRRs of the warped attenuation
+    hu = (jnp.asarray(moving) - 1.0) * 500.0
+    atten = drr.calc_relative_atten_coef(hu)
+    disp = None  # target built in _problem via image warp; rebuild proj:
+    from liftreg_tpu.coords import identity_map
+    from liftreg_tpu.models.subspace_backproj import expand_pca
+    from liftreg_tpu.ops import resample
+    disp = expand_pca(z_true, pca["vectors"], pca["mean"], (SZ, SZ, SZ))
+    phi_true = disp + identity_map((SZ, SZ, SZ))[None]
+    warped_atten = resample.warp_image(atten, phi_true, zero_boundary=True,
+                                       scale_intensity=False)
+    target_proj = _project_normalized(warped_atten, poses, resolution,
+                                      spacing)
+
+    refiner = make_projection_refiner((SZ, SZ, SZ), poses, resolution,
+                                      spacing, n_steps=60, lr=0.1)
+    z0 = jnp.zeros((1, z_true.shape[1]), jnp.float32)
+    res = refiner(z0, pca, atten, target_proj)
+    sims = np.asarray(res["sim_history"])
+    assert sims[-1] < 0.6 * sims[0], sims
+    d0 = float(jnp.linalg.norm(z0 - z_true))
+    d1 = float(jnp.linalg.norm(res["coefs"] - z_true))
+    assert d1 < d0
+
+
+def test_register_projections_matches_register():
+    """register_projections (no target CT) must equal register when fed
+    the same projections the pipeline would simulate internally."""
+    from liftreg_tpu.ops import drr
+    from liftreg_tpu.pipeline import RegistrationPipeline
+
+    sz, latent = 16, 4
+    rng = np.random.default_rng(7)
+    pipe = RegistrationPipeline((sz, sz, sz), latent_dim=latent, n_proj=2)
+    pca = {"vectors": jnp.asarray(
+        rng.normal(size=(latent, 3 * sz ** 3)).astype(np.float32) * 0.01),
+        "mean": jnp.zeros((3 * sz ** 3,), jnp.float32)}
+    params = pipe.init_params(jax.random.PRNGKey(0), pca)
+    src = jnp.asarray(rng.uniform(-1000, 0, (1, 1, sz, sz, sz))
+                      .astype(np.float32))
+    tgt = jnp.asarray(rng.uniform(-1000, 0, (1, 1, sz, sz, sz))
+                      .astype(np.float32))
+    seg = jnp.ones((1, 1, sz, sz, sz), jnp.float32)
+
+    w_full, phi_full = pipe.register(params, pca, src, tgt, seg, seg)
+    atten_t = drr.calc_relative_atten_coef(tgt[:, 0])
+    proj = _project_normalized(atten_t[:, None], jnp.asarray(pipe.poses),
+                               pipe.resolution, pipe.spacing)
+    w_p, phi_p = pipe.register_projections(params, pca, src, proj, seg)
+    np.testing.assert_allclose(np.asarray(w_p), np.asarray(w_full),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(phi_p), np.asarray(phi_full),
+                               atol=1e-6)
+
+
+def test_pipeline_projection_refinement():
+    """refine_domain='projection': the fused projection-domain refinement
+    must cut the projection mismatch, without ever reading a target CT."""
+    from liftreg_tpu.ops import drr, resample
+    from liftreg_tpu.pipeline import RegistrationPipeline
+
+    sz = SZ
+    pca, moving, target, z_true = _problem(5)
+    # build HU pair from the synthetic problem
+    src_hu = (jnp.asarray(moving) - 1.0) * 500.0
+    pipe0 = RegistrationPipeline((sz, sz, sz), latent_dim=LATENT, n_proj=4)
+    params = pipe0.init_params(jax.random.PRNGKey(1), pca)
+    pipe_r = RegistrationPipeline((sz, sz, sz), latent_dim=LATENT,
+                                  n_proj=4, refine_steps=40, refine_lr=0.1,
+                                  refine_domain="projection")
+    atten_src = drr.calc_relative_atten_coef(src_hu)
+    # ground-truth projections: warp the attenuation by the true map
+    from liftreg_tpu.coords import identity_map
+    from liftreg_tpu.models.subspace_backproj import expand_pca
+    disp = expand_pca(z_true, pca["vectors"], pca["mean"], (sz, sz, sz))
+    phi_true = disp + identity_map((sz, sz, sz))[None]
+    warped_atten = resample.warp_image(atten_src, phi_true,
+                                       zero_boundary=True,
+                                       scale_intensity=False)
+    tproj = _project_normalized(warped_atten, jnp.asarray(pipe0.poses),
+                                pipe0.resolution, pipe0.spacing)
+
+    def proj_mismatch(phi):
+        wa = resample.warp_image(atten_src, phi, zero_boundary=True,
+                                 scale_intensity=False)
+        p = _project_normalized(wa, jnp.asarray(pipe0.poses),
+                                pipe0.resolution, pipe0.spacing)
+        return float(jnp.mean((p - tproj) ** 2))
+
+    _, phi0 = pipe0.register_projections(params, pca, src_hu, tproj)
+    _, phi1 = pipe_r.register_projections(params, pca, src_hu, tproj)
+    m0, m1 = proj_mismatch(phi0), proj_mismatch(phi1)
+    assert m1 < 0.5 * m0, (m0, m1)
