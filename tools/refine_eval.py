@@ -30,12 +30,19 @@ def main():
                          "min_reg_factor)")
     ap.add_argument("--iso_spacing", type=float, default=0.0,
                     help="uniform landmark spacing (mm) for synthetic data")
+    ap.add_argument("--domain", choices=("image", "projection"),
+                    default="image",
+                    help="refinement objective: 'image' = sim vs target "
+                         "CT (training's SubspaceLoss; needs the target "
+                         "volume); 'projection' = sim(DRR(warped "
+                         "attenuation), measured projections) — the "
+                         "CT-free deployment scenario")
     args = ap.parse_args()
 
     import numpy as np
 
     from liftreg_tpu.models.subspace_backproj import mask_lung
-    from liftreg_tpu.refine import make_refiner
+    from liftreg_tpu.refine import make_projection_refiner, make_refiner
     from liftreg_tpu.train import RegistrationTrainer
     from liftreg_tpu.utils.config import ParameterDict
     from liftreg_tpu.utils.io_utils import save_deformations
@@ -55,16 +62,22 @@ def main():
         if hasattr(loss_cfg, "as_dict") else dict(loss_cfg)
     reg_factor = args.reg_factor if args.reg_factor is not None \
         else float(loss_cfg.get("min_reg_factor", 1e-3))
-    refiner = make_refiner(
-        trainer.img_sz, sim=loss_cfg.get("sim_class", "ncc"),
-        sim_opts=loss_cfg.get("sim_opts", None), n_steps=args.steps,
-        lr=args.lr, reg_factor=reg_factor,
-        warp_taps_dtype=trainer.model.warp_taps_dtype,
-        mesh=trainer.model.mesh)
+    sim_kw = dict(sim=loss_cfg.get("sim_class", "ncc"),
+                  sim_opts=loss_cfg.get("sim_opts", None),
+                  n_steps=args.steps, lr=args.lr, reg_factor=reg_factor)
+    refiner = None  # projection refiner needs the dataset's poses (batch 1)
+    if args.domain == "image":
+        refiner = make_refiner(
+            trainer.img_sz, warp_taps_dtype=trainer.model.warp_taps_dtype,
+            mesh=trainer.model.mesh, **sim_kw)
+
+    ds_cfg = setting["dataset"]
+    ds_cfg = ds_cfg.as_dict() if hasattr(ds_cfg, "as_dict") else dict(ds_cfg)
 
     exp = setting["train"]["output_path"]
     base_tests = os.path.join(exp, "tests")
-    refined_exp = os.path.join(exp, "refined")
+    refined_exp = os.path.join(
+        exp, "refined" if args.domain == "image" else "refined_proj")
     refined_tests = os.path.join(refined_exp, "tests")
     os.makedirs(refined_tests, exist_ok=True)
 
@@ -77,12 +90,30 @@ def main():
         # amortized phis (what eval_cli scores)
         save_deformations(np.asarray(eval_out["phi"])[:nv], names,
                           base_tests)
-        if trainer.model.mask_ct and "source_label" in batch:
-            moving_cp = mask_lung(batch["source"], batch["source_label"])
+        if args.domain == "projection":
+            if refiner is None:
+                poses = np.asarray(batch["target_poses"])
+                poses = poses[0] if poses.ndim == 3 else poses
+                refiner = make_projection_refiner(
+                    trainer.img_sz, poses,
+                    tuple(batch["target_proj"].shape[-2:]),
+                    tuple(ds_cfg.get("spacing_to_refer", (2.2, 2.2, 2.2))),
+                    **sim_kw)
+            # dataset 'source' is normalized HU [-1,1]; invert to HU then
+            # to linear attenuation (normalize_hu: clip/1000*2+1)
+            hu = (np.asarray(batch["source"]) - 1.0) * 500.0
+            from liftreg_tpu.ops import drr as _drr
+            moving_atten = _drr.calc_relative_atten_coef(hu)
+            res = refiner(out["pca_coefs"], trainer.pca, moving_atten,
+                          batch["target_proj"])
         else:
-            moving_cp = batch["source"]
-        res = refiner(out["pca_coefs"], trainer.pca, moving_cp,
-                      out["target"])
+            if trainer.model.mask_ct and "source_label" in batch:
+                moving_cp = mask_lung(batch["source"],
+                                      batch["source_label"])
+            else:
+                moving_cp = batch["source"]
+            res = refiner(out["pca_coefs"], trainer.pca, moving_cp,
+                          out["target"])
         save_deformations(np.asarray(res["phi"])[:nv], names, refined_tests)
         hist = np.asarray(res["sim_history"])
         sim_drops.append((float(hist[0]), float(hist[-1])))
@@ -90,8 +121,6 @@ def main():
         print(f"{names}: sim {hist[0]:.4f} -> {hist[-1]:.4f} "
               f"({args.steps} steps)")
 
-    ds_cfg = setting["dataset"]
-    ds_cfg = ds_cfg.as_dict() if hasattr(ds_cfg, "as_dict") else dict(ds_cfg)
     data_path = ds_cfg["data_path"]
     dim = tuple(ds_cfg.get("img_after_resize", (160, 160, 160)))
     table = {str(n): [args.iso_spacing] * 3 for n in all_names} \
