@@ -11,6 +11,14 @@ Chip-time priority when the tunnel is scarce (post-outage runbook):
   3. this script, serving then training
   4. if s2d/pca win: flip the pipeline defaults + bench.py, RE-WARM
      .jax_cache by running bench.py, commit cache + docs.
+  5. refinement cost at 160^3: time RegistrationPipeline(refine_steps=30)
+     B=4 vs refine_steps=0 (expected ~+1 PCA-expand+warp fwd+bwd per
+     step, DESIGN.md section 2a); record ms/step in DESIGN.
+  6. real-scale refinement TRE: `tools/refine_eval.py -s
+     /root/demo_out2/.../cur_task_setting.json --steps 30 --iso_spacing
+     2.2 --domain projection` (the 32^3 result is -38.1%; DEMO.md).
+  7. serving artifact first call: time ServingModel.load +
+     first register for /tmp/flagship160.liftreg (compile vs cache-hit).
 
 Run:  python tools/bench_ab.py [--skip-train] 2>&1 | tee /tmp/ab.log
 """
