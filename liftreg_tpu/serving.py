@@ -46,13 +46,21 @@ def _to_numpy_tree(tree):
 
 
 def export_serving(pipe, params, pca, batch_size: int, out_path: str,
-                   platforms: Tuple[str, ...] = DEFAULT_PLATFORMS) -> str:
-    """Export ``pipe.register`` AOT and package it with the weights.
+                   platforms: Tuple[str, ...] = DEFAULT_PLATFORMS,
+                   entry: str = "register") -> str:
+    """Export a pipeline entry AOT and package it with the weights.
 
     ``pipe``: a built :class:`~liftreg_tpu.pipeline.RegistrationPipeline`;
     ``params``/``pca``: its weights (any pytree of arrays); ``batch_size``:
-    the serving batch the program is specialized to. Returns ``out_path``.
+    the serving batch the program is specialized to. ``entry``:
+    ``"register"`` (CT pair in) or ``"register_projections"`` (moving CT +
+    measured 2D projections in — the CT-free deployment entry; pair it
+    with ``refine_domain="projection"`` to bake in per-case refinement).
+    Returns ``out_path``.
     """
+    if entry not in ("register", "register_projections"):
+        raise ValueError(f"entry {entry!r} not in "
+                         f"('register', 'register_projections')")
     sz = pipe.img_sz
     # plain nested dicts: the exported calling convention hashes the input
     # treedef, and msgpack restore produces plain dicts — exporting with
@@ -66,9 +74,17 @@ def export_serving(pipe, params, pca, batch_size: int, out_path: str,
             tree)
 
     vol = jax.ShapeDtypeStruct((batch_size, 1) + sz, jnp.float32)
-    exp = jax_export.export(
-        jax.jit(pipe._register_impl), platforms=tuple(platforms))(
-            as_sds(params_np), as_sds(pca_np), vol, vol, vol, vol)
+    if entry == "register":
+        exp = jax_export.export(
+            jax.jit(pipe._register_impl), platforms=tuple(platforms))(
+                as_sds(params_np), as_sds(pca_np), vol, vol, vol, vol)
+    else:
+        proj = jax.ShapeDtypeStruct(
+            (batch_size, int(pipe.poses.shape[0])) + tuple(pipe.resolution),
+            jnp.float32)
+        exp = jax_export.export(
+            jax.jit(pipe._register_proj_impl), platforms=tuple(platforms))(
+                as_sds(params_np), as_sds(pca_np), vol, proj, vol)
 
     compute_dtype = pipe.model.compute_dtype
     payload = {
@@ -81,10 +97,12 @@ def export_serving(pipe, params, pca, batch_size: int, out_path: str,
             "batch_size": int(batch_size),
             "latent_dim": int(pipe.model.latent_dim),
             "n_proj": int(pipe.poses.shape[0]),
+            "resolution": list(pipe.resolution),
             "platforms": list(platforms),
             "compute_dtype": (np.dtype(compute_dtype).name
                               if compute_dtype is not None else ""),
             "refine_steps": int(getattr(pipe, "refine_steps", 0)),
+            "entry": entry,
         },
     }
     blob = serialization.msgpack_serialize(payload, in_place=True)
@@ -113,6 +131,8 @@ class ServingModel:
         self.meta = meta
         self.batch_size = int(meta["batch_size"])
         self.img_sz = tuple(int(s) for s in meta["img_sz"])
+        # pre-"entry" artifacts are all register-entry
+        self.entry = meta.get("entry", "register")
         # one jitted entry: XLA compiles the deserialized StableHLO on
         # first call (cacheable via jax_compilation_cache_dir like any
         # other program)
@@ -141,29 +161,23 @@ class ServingModel:
         return cls(exported, payload["params"], payload["pca"],
                    payload["meta"])
 
-    def register(self, source_hu, target_hu, source_seg=None,
-                 target_seg=None):
-        """(B', 1, D, W, H) HU volumes with 1 <= B' <= batch_size; segs
-        optional {0,1} masks (default: all-ones). Partial batches are padded
-        to the exported batch and the outputs sliced back to B'."""
-        b_in = int(np.shape(source_hu)[0])
+    def _validate(self, named_arrays, b_in, vol_names):
         if not 1 <= b_in <= self.batch_size:
             raise ValueError(
                 f"batch {b_in} outside [1, {self.batch_size}] — this "
                 f"artifact was exported for batch_size={self.batch_size}")
-        expect = (b_in, 1) + self.img_sz
-        for name, arr in (("source_hu", source_hu), ("target_hu", target_hu),
-                          ("source_seg", source_seg),
-                          ("target_seg", target_seg)):
-            if arr is not None and tuple(np.shape(arr)) != expect:
+        for name, arr in named_arrays:
+            if arr is None:
+                continue
+            expect = (b_in, 1) + self.img_sz if name in vol_names else \
+                (b_in, int(self.meta["n_proj"])) + \
+                tuple(int(r) for r in self.meta["resolution"])
+            if tuple(np.shape(arr)) != expect:
                 raise ValueError(
                     f"{name} shape {tuple(np.shape(arr))} != {expect} "
                     f"(artifact img_sz {self.img_sz}, batch {b_in})")
-        self._commit_weights()
-        if source_seg is None:
-            source_seg = jnp.ones_like(source_hu)
-        if target_seg is None:
-            target_seg = jnp.ones_like(target_hu)
+
+    def _pad_call(self, b_in, args):
         pad = self.batch_size - b_in
 
         def _pad(x):
@@ -172,10 +186,50 @@ class ServingModel:
             reps = jnp.repeat(jnp.asarray(x)[-1:], pad, axis=0)
             return jnp.concatenate([jnp.asarray(x), reps], axis=0)
 
-        warped, phi = self._call(self._params, self._pca, _pad(source_hu),
-                                 _pad(target_hu), _pad(source_seg),
-                                 _pad(target_seg))
+        self._commit_weights()
+        warped, phi = self._call(self._params, self._pca,
+                                 *(_pad(a) for a in args))
         return warped[:b_in], phi[:b_in]
+
+    def register(self, source_hu, target_hu, source_seg=None,
+                 target_seg=None):
+        """(B', 1, D, W, H) HU volumes with 1 <= B' <= batch_size; segs
+        optional {0,1} masks (default: all-ones). Partial batches are padded
+        to the exported batch and the outputs sliced back to B'."""
+        if self.entry != "register":
+            raise ValueError(
+                f"this artifact was exported with entry="
+                f"{self.entry!r}; call {self.entry}() instead")
+        b_in = int(np.shape(source_hu)[0])
+        self._validate(
+            (("source_hu", source_hu), ("target_hu", target_hu),
+             ("source_seg", source_seg), ("target_seg", target_seg)),
+            b_in, vol_names={"source_hu", "target_hu", "source_seg",
+                             "target_seg"})
+        if source_seg is None:
+            source_seg = jnp.ones_like(source_hu)
+        if target_seg is None:
+            target_seg = jnp.ones_like(target_hu)
+        return self._pad_call(b_in, (source_hu, target_hu, source_seg,
+                                     target_seg))
+
+    def register_projections(self, source_hu, target_proj, source_seg=None):
+        """CT-free entry: moving CT + measured 2D projections in, no target
+        volume. ``target_proj``: (B', P, pw, ph) in the dataset's
+        normalized DRR convention. Only valid for artifacts exported with
+        ``entry="register_projections"``."""
+        if self.entry != "register_projections":
+            raise ValueError(
+                f"this artifact was exported with entry={self.entry!r}; "
+                f"call {self.entry}() instead")
+        b_in = int(np.shape(source_hu)[0])
+        self._validate(
+            (("source_hu", source_hu), ("target_proj", target_proj),
+             ("source_seg", source_seg)),
+            b_in, vol_names={"source_hu", "source_seg"})
+        if source_seg is None:
+            source_seg = jnp.ones_like(source_hu)
+        return self._pad_call(b_in, (source_hu, target_proj, source_seg))
 
     @property
     def platforms(self):

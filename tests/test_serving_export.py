@@ -153,6 +153,46 @@ def test_refined_artifact_beats_unrefined(artifact, tmp_path):
     assert float(ncc_loss(w1, target_cp)) < float(ncc_loss(w0, target_cp))
 
 
+def test_projection_entry_artifact(artifact, tmp_path):
+    """entry='register_projections': the CT-free artifact (projection
+    refinement baked in) matches the live pipeline and rejects the wrong
+    entry point."""
+    from liftreg_tpu.ops import drr
+
+    a = artifact
+    pipe = RegistrationPipeline((SZ, SZ, SZ), latent_dim=LATENT,
+                                refine_steps=8, refine_lr=0.1,
+                                refine_domain="projection")
+    path = str(tmp_path / "ctfree.liftreg")
+    export_serving(pipe, a["params"], a["pca"], batch_size=B,
+                   out_path=path, platforms=("cpu",),
+                   entry="register_projections")
+    srv = ServingModel.load(path)
+    assert srv.entry == "register_projections"
+    assert srv.meta["refine_steps"] == 8
+
+    att = drr.calc_relative_atten_coef(a["tgt"][:, 0])
+    proj = jnp.clip(drr.project(att, jnp.asarray(pipe.poses),
+                                pipe.resolution, pipe.spacing),
+                    0.0, 6.0) / 6.0 * 2.0 - 1.0
+    w_live, phi_live = pipe.register_projections(a["params"], a["pca"],
+                                                 a["src"], proj, a["seg"])
+    w_srv, phi_srv = srv.register_projections(a["src"], proj, a["seg"])
+    np.testing.assert_array_equal(np.asarray(w_live), np.asarray(w_srv))
+    np.testing.assert_array_equal(np.asarray(phi_live), np.asarray(phi_srv))
+
+    # partial batch works; wrong entry and wrong proj shape are rejected
+    w1, _ = srv.register_projections(a["src"][:1], proj[:1], a["seg"][:1])
+    assert w1.shape[0] == 1
+    with pytest.raises(ValueError, match="entry"):
+        srv.register(a["src"], a["tgt"])
+    with pytest.raises(ValueError, match="target_proj"):
+        srv.register_projections(a["src"], proj[:, :, :4])
+    srv0 = ServingModel.load(a["path"])
+    with pytest.raises(ValueError, match="entry"):
+        srv0.register_projections(a["src"], proj)
+
+
 def test_serve_batch_cli(artifact, tmp_path):
     """tools/serve_batch.py: 3 cases through a B=2 artifact (one full +
     one partial dispatch); outputs match direct ServingModel calls."""

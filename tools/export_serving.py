@@ -42,6 +42,12 @@ def main():
                     help="bake N steps of per-case latent refinement into "
                          "the exported program (refine.py)")
     ap.add_argument("--refine_lr", type=float, default=0.05)
+    ap.add_argument("--entry", choices=("register", "projections"),
+                    default="register",
+                    help="'projections' exports the CT-free entry "
+                         "(moving CT + measured 2D projections in, no "
+                         "target volume); refinement then runs in the "
+                         "projection domain")
     args = ap.parse_args()
 
     import jax
@@ -53,8 +59,13 @@ def main():
 
     platforms = tuple(p.strip() for p in args.platforms.split(",") if p.strip())
 
+    entry = "register" if args.entry == "register" \
+        else "register_projections"
     refine_kw = dict(refine_steps=args.refine_steps,
                      refine_lr=args.refine_lr)
+    if args.refine_steps and entry == "register_projections":
+        # the CT-free entry can only refine against the projections
+        refine_kw["refine_domain"] = "projection"
 
     if args.demo:
         sz, latent = int(args.demo), 8
@@ -149,9 +160,11 @@ def main():
               f"(epoch {int(state.get('epoch', -1))})")
 
     out = export_serving(pipe, params, pca, batch_size=args.batch_size,
-                         out_path=args.out, platforms=platforms)
+                         out_path=args.out, platforms=platforms,
+                         entry=entry)
     print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB, "
-          f"platforms={list(platforms)}, batch_size={args.batch_size})")
+          f"platforms={list(platforms)}, batch_size={args.batch_size}, "
+          f"entry={entry})")
 
 
 if __name__ == "__main__":
