@@ -232,6 +232,48 @@ def test_serve_batch_cli(artifact, tmp_path):
                                    atol=1e-6)
 
 
+def test_serve_batch_cli_projection_artifact(artifact, tmp_path):
+    """serve_batch auto-detects a CT-free artifact and consumes
+    <id>_target_proj.npy instead of target volumes."""
+    import subprocess
+    import sys as _sys
+    from pathlib import Path
+
+    from liftreg_tpu.ops import drr
+
+    a = artifact
+    pipe = RegistrationPipeline((SZ, SZ, SZ), latent_dim=LATENT)
+    art = str(tmp_path / "ctfree.liftreg")
+    export_serving(pipe, a["params"], a["pca"], batch_size=2,
+                   out_path=art, platforms=("cpu",),
+                   entry="register_projections")
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    inp, out = tmp_path / "cases", tmp_path / "out"
+    inp.mkdir()
+    rng = np.random.default_rng(13)
+    for cid in ("p1", "p2", "p3"):
+        s = rng.uniform(-1000, 0, (SZ, SZ, SZ)).astype(np.float32)
+        t = rng.uniform(-1000, 0, (SZ, SZ, SZ)).astype(np.float32)
+        att = drr.calc_relative_atten_coef(jnp.asarray(t)[None])
+        proj = jnp.clip(drr.project(att, jnp.asarray(pipe.poses),
+                                    pipe.resolution, pipe.spacing),
+                        0.0, 6.0) / 6.0 * 2.0 - 1.0
+        np.save(inp / f"{cid}_source.npy", s)
+        np.save(inp / f"{cid}_target_proj.npy", np.asarray(proj[0]))
+    proc = subprocess.run(
+        [_sys.executable, os.path.join(repo, "tools", "serve_batch.py"),
+         "-a", art, "-i", str(inp), "-o", str(out)],
+        capture_output=True, text=True, timeout=600,
+        env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo})
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert "entry register_projections" in proc.stdout
+    for cid in ("p1", "p2", "p3"):
+        phi = np.load(out / f"{cid}_phi.npy")
+        assert phi.shape == (3, SZ, SZ, SZ)
+        assert np.isfinite(phi).all()
+
+
 @pytest.mark.slow
 def test_export_cli_from_trained_experiment(tmp_path):
     """The CLI plumbing: config -> pipeline options, checkpoint -> weights.

@@ -10,7 +10,10 @@ exported batch size per dispatch::
 
 Case layout: ``<id>_source.npy`` + ``<id>_target.npy`` HU volumes
 (D, W, H) or (1, D, W, H), with optional ``<id>_source_seg.npy`` /
-``<id>_target_seg.npy`` masks. Outputs ``<id>_warped.npy`` and
+``<id>_target_seg.npy`` masks. For a CT-free artifact
+(``--entry projections`` at export) the target is
+``<id>_target_proj.npy`` — (P, pw, ph) normalized projections — and no
+target volume or target seg is read. Outputs ``<id>_warped.npy`` and
 ``<id>_phi.npy`` — phis rescaled to [0, 1] like every other ``_phi.npy``
 in this repo (``io_utils.save_deformations``), so an output directory is
 directly scoreable by the TRE evaluator (``utils/tre.eval_copd_highres``
@@ -26,12 +29,12 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def find_cases(input_dir):
+def find_cases(input_dir, target_suffix="_target.npy"):
     ids = sorted(
         f[:-len("_source.npy")] for f in os.listdir(input_dir)
         if f.endswith("_source.npy"))
     return [i for i in ids
-            if os.path.exists(os.path.join(input_dir, i + "_target.npy"))]
+            if os.path.exists(os.path.join(input_dir, i + target_suffix))]
 
 
 def main():
@@ -59,19 +62,23 @@ def main():
                              f"img_sz {sz}")
         return v  # (1, D, W, H)
 
-    ids = find_cases(args.input)
+    # CT-free artifacts consume <id>_target_proj.npy ((P, pw, ph)
+    # normalized projections) instead of a target volume
+    ct_free = srv.entry == "register_projections"
+    target_suffix = "_target_proj.npy" if ct_free else "_target.npy"
+    ids = find_cases(args.input, target_suffix)
     if not ids:
-        print(f"no cases found in {args.input}", file=sys.stderr)
+        print(f"no cases found in {args.input} "
+              f"(need <id>_source.npy + <id>{target_suffix})",
+              file=sys.stderr)
         sys.exit(1)
     print(f"{len(ids)} case(s), artifact batch {srv.batch_size}, "
-          f"platforms {list(srv.platforms)}")
+          f"entry {srv.entry}, platforms {list(srv.platforms)}")
 
     done = 0
     for start in range(0, len(ids), srv.batch_size):
         chunk = ids[start:start + srv.batch_size]
         src = np.stack([load_vol(os.path.join(args.input, i + "_source.npy"))
-                        for i in chunk])
-        tgt = np.stack([load_vol(os.path.join(args.input, i + "_target.npy"))
                         for i in chunk])
 
         def seg_or_ones(i, which):
@@ -80,8 +87,17 @@ def main():
                 else np.ones((1,) + sz, np.float32)
 
         sseg = np.stack([seg_or_ones(i, "source") for i in chunk])
-        tseg = np.stack([seg_or_ones(i, "target") for i in chunk])
-        warped, phi = srv.register(src, tgt, sseg, tseg)
+        if ct_free:
+            proj = np.stack([np.load(os.path.join(
+                args.input, i + target_suffix)).astype(np.float32)
+                for i in chunk])
+            warped, phi = srv.register_projections(src, proj, sseg)
+        else:
+            tgt = np.stack([load_vol(os.path.join(args.input,
+                                                  i + target_suffix))
+                            for i in chunk])
+            tseg = np.stack([seg_or_ones(i, "target") for i in chunk])
+            warped, phi = srv.register(src, tgt, sseg, tseg)
         warped, phi = np.asarray(warped), np.asarray(phi)
         # repo-wide _phi.npy convention: [0, 1] (save_deformations)
         phi = (phi + 1.0) / 2.0
