@@ -37,6 +37,57 @@ from .models.subspace_backproj import expand_pca
 from .ops import drr, resample
 
 
+def _build_refine(losses_fn, tx, n_steps):
+    """Shared refinement loop: ``n_steps`` adam updates in a ``lax.scan``,
+    returning the BEST iterate by the batch objective (adam can overshoot
+    near convergence; selecting the argmin iterate guarantees the returned
+    registration is never worse than the amortized prediction —
+    ``history[-1] <= history[0]`` by construction).
+
+    ``losses_fn(z, *args) -> (total, (sim, phi, warped))``. The returned
+    ``refine(coefs0, *args)`` evaluates z_0..z_n inside the scan (the
+    trajectory is the history's first n_steps entries), then one final
+    forward on the selected iterate yields the outputs and the history's
+    last entry. Selection is by the batch-mean objective (per-sample
+    selection would need per-sample losses).
+    """
+
+    @jax.jit
+    def refine(coefs0, *args):
+        grad_fn = jax.value_and_grad(lambda z: losses_fn(z, *args),
+                                     has_aux=True)
+
+        def step(carry, _):
+            z, opt_state, best_z, best_total = carry
+            (total, (sim_loss, _, _)), g = grad_fn(z)
+            better = total < best_total
+            best_z = jnp.where(better, z, best_z)
+            best_total = jnp.minimum(total, best_total)
+            updates, opt_state = tx.update(g, opt_state, z)
+            z = optax.apply_updates(z, updates)
+            return (z, opt_state, best_z, best_total), (total, sim_loss)
+
+        z0 = coefs0.astype(jnp.float32)
+        init = (z0, tx.init(z0), z0, jnp.asarray(jnp.inf, jnp.float32))
+        # n_steps + 1 evals covers z_0 (unrefined) through z_n (fully
+        # stepped); the last update's result is evaluated, not discarded
+        (_, _, best_z, _), (totals, sims) = jax.lax.scan(
+            step, init, None, length=n_steps + 1)
+        sel_total, (sel_sim, phi, warped) = losses_fn(best_z, *args)
+        return {
+            "coefs": best_z,
+            "phi": phi,
+            "warped": warped,
+            # entries 0..n-1: the z_0..z_{n-1} trajectory; last entry: the
+            # SELECTED iterate's objective (== min over the trajectory)
+            "total_history": jnp.concatenate([totals[:-1],
+                                              sel_total[None]]),
+            "sim_history": jnp.concatenate([sims[:-1], sel_sim[None]]),
+        }
+
+    return refine
+
+
 def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
                  reg_factor=1e-3, warp_taps_dtype=None, mesh=None):
     """Build a jitted refinement function for one volume geometry.
@@ -58,9 +109,11 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
 
     Returns:
       ``refine(coefs0, pca, moving, target) -> dict`` with keys
-      ``coefs`` (refined latents), ``phi``, ``warped``, ``sim_history``
-      and ``total_history`` ((n_steps+1,) — entry 0 is the unrefined
-      loss, so ``history[-1] < history[0]`` measures the gain).
+      ``coefs`` (refined latents — the BEST iterate by objective, never
+      worse than the amortized prediction), ``phi``, ``warped``,
+      ``sim_history`` and ``total_history`` ((n_steps+1,) — entry 0 is
+      the unrefined loss, the last entry is the returned iterate's loss;
+      ``history[-1] <= history[0]`` by construction).
       ``moving``/``target`` must be the pair the similarity was trained on
       (lung-masked when the model used ``mask_ct=True``).
     """
@@ -84,35 +137,7 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
         total = sim_loss + reg_factor * displacement_reg(disp)
         return total, (sim_loss, phi, warped)
 
-    @jax.jit
-    def refine(coefs0, pca, moving, target):
-        grad_fn = jax.value_and_grad(
-            lambda z: _losses(z, pca, moving, target), has_aux=True)
-
-        def step(carry, _):
-            z, opt_state = carry
-            (total, (sim_loss, _, _)), g = grad_fn(z)
-            updates, opt_state = tx.update(g, opt_state, z)
-            z = optax.apply_updates(z, updates)
-            return (z, opt_state), (total, sim_loss)
-
-        coefs0 = coefs0.astype(jnp.float32)
-        (z, _), (totals, sims) = jax.lax.scan(
-            step, (coefs0, tx.init(coefs0)), None, length=n_steps)
-        # the scan's step-i losses are evaluated BEFORE update i, so the
-        # history starts at the unrefined objective; one final evaluation
-        # appends the refined loss and yields phi/warped (single forward)
-        final_total, (final_sim, phi, warped) = _losses(z, pca, moving,
-                                                        target)
-        return {
-            "coefs": z,
-            "phi": phi,
-            "warped": warped,
-            "total_history": jnp.concatenate([totals, final_total[None]]),
-            "sim_history": jnp.concatenate([sims, final_sim[None]]),
-        }
-
-    return refine
+    return _build_refine(_losses, tx, n_steps)
 
 
 def make_projection_refiner(img_sz, poses, resolution,
@@ -183,31 +208,4 @@ def make_projection_refiner(img_sz, poses, resolution,
         total = sim_loss + reg_factor * displacement_reg(disp)
         return total, (sim_loss, phi, warped)
 
-    @jax.jit
-    def refine(coefs0, pca, moving_atten, target_proj):
-        grad_fn = jax.value_and_grad(
-            lambda z: _losses(z, pca, moving_atten, target_proj),
-            has_aux=True)
-
-        def step(carry, _):
-            z, opt_state = carry
-            (total, (sim_loss, _, _)), g = grad_fn(z)
-            updates, opt_state = tx.update(g, opt_state, z)
-            z = optax.apply_updates(z, updates)
-            return (z, opt_state), (total, sim_loss)
-
-        coefs0 = coefs0.astype(jnp.float32)
-        (z, _), (totals, sims) = jax.lax.scan(
-            step, (coefs0, tx.init(coefs0)), None, length=n_steps)
-        final_total, (final_sim, phi, warped) = _losses(z, pca,
-                                                        moving_atten,
-                                                        target_proj)
-        return {
-            "coefs": z,
-            "phi": phi,
-            "warped": warped,
-            "total_history": jnp.concatenate([totals, final_total[None]]),
-            "sim_history": jnp.concatenate([sims, final_sim[None]]),
-        }
-
-    return refine
+    return _build_refine(_losses, tx, n_steps)

@@ -239,3 +239,18 @@ def test_pipeline_projection_refinement():
     _, phi1 = pipe_r.register_projections(params, pca, src_hu, tproj)
     m0, m1 = proj_mismatch(phi0), proj_mismatch(phi1)
     assert m1 < 0.5 * m0, (m0, m1)
+
+
+def test_refine_never_worse_than_amortized():
+    """Best-iterate selection: even with a destructive learning rate, the
+    returned iterate's objective can't exceed the unrefined one."""
+    pca, moving, target, _ = _problem(8)
+    refiner = make_refiner((SZ, SZ, SZ), n_steps=10, lr=50.0)  # absurd lr
+    res = refiner(jnp.zeros((1, LATENT)), pca, moving, target)
+    hist = np.asarray(res["total_history"])
+    assert hist[-1] <= hist[0] + 1e-6, hist
+    # with a sane lr, the selected iterate matches the trajectory minimum
+    sane = make_refiner((SZ, SZ, SZ), n_steps=20, lr=0.1)
+    res2 = sane(jnp.zeros((1, LATENT)), pca, moving, target)
+    h2 = np.asarray(res2["total_history"])
+    assert h2[-1] <= h2[:-1].min() + 1e-5, h2
