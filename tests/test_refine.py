@@ -254,3 +254,43 @@ def test_refine_never_worse_than_amortized():
     res2 = sane(jnp.zeros((1, LATENT)), pca, moving, target)
     h2 = np.asarray(res2["total_history"])
     assert h2[-1] <= h2[:-1].min() + 1e-5, h2
+
+
+def test_projection_refiner_robust_to_measurement_noise():
+    """Real projections carry detector noise; refinement against noisy
+    measurements must still move the latent toward the ground truth."""
+    from liftreg_tpu.coords import identity_map
+    from liftreg_tpu.models.subspace_backproj import expand_pca
+    from liftreg_tpu.ops import drr, resample
+    from liftreg_tpu.refine import make_projection_refiner
+
+    pca, moving, target, z_true = _problem(9)
+    poses = drr.synthesize_poses(30.0, 4, SZ)
+    resolution, spacing = (24, 24), (2.2, 2.2, 2.2)
+    hu = (jnp.asarray(moving) - 1.0) * 500.0
+    atten = drr.calc_relative_atten_coef(hu)
+    disp = expand_pca(z_true, pca["vectors"], pca["mean"], (SZ, SZ, SZ))
+    phi_true = disp + identity_map((SZ, SZ, SZ))[None]
+    warped_atten = resample.warp_image(atten, phi_true, zero_boundary=True,
+                                       scale_intensity=False)
+    clean = _project_normalized(warped_atten, poses, resolution, spacing)
+    # 3% of the [-1,1] range — visible detector noise
+    rng = np.random.default_rng(99)
+    noisy = clean + jnp.asarray(
+        rng.normal(scale=0.06, size=clean.shape).astype(np.float32))
+
+    refiner = make_projection_refiner((SZ, SZ, SZ), poses, resolution,
+                                      spacing, n_steps=60, lr=0.1)
+    z0 = jnp.zeros((1, z_true.shape[1]), jnp.float32)
+    res = refiner(z0, pca, atten, noisy)
+    d0 = float(jnp.linalg.norm(z0 - z_true))
+    d1 = float(jnp.linalg.norm(res["coefs"] - z_true))
+    # Measured envelope at this toy scale (16^3 volume, 24^2 detector,
+    # 6-dim latent): clean measurements converge to ~0.09 latent distance;
+    # 3%-of-range noise stalls recovery at ~1.3 (the few detector pixels
+    # are noise-dominated). Still a >45% improvement over the unrefined
+    # latent — and the best-iterate guarantee caps the downside at zero.
+    assert d1 < 0.6 * d0, (d0, d1)
+    res_clean = refiner(z0, pca, atten, clean)
+    d1_clean = float(jnp.linalg.norm(res_clean["coefs"] - z_true))
+    assert d1_clean < 0.1 * d0, (d0, d1_clean)
