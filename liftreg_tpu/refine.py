@@ -95,7 +95,9 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
     Args:
       img_sz: (D, W, H) of the volumes.
       sim: similarity key (``losses.similarity.get_similarity``) — use the
-        one the model was trained with.
+        one the model was trained with. Note ``"ngf"`` is the reference's
+        2D projection loss and only fits :func:`make_projection_refiner`
+        (volumes are 5D; NGF's gradient is 2D, ``layers/losses.py:31-58``).
       sim_opts: optional kwargs for the similarity (e.g. LNCC's window).
       n_steps: adam steps (static; the loop is a ``lax.scan``).
       lr: adam learning rate on the latent coefficients.
