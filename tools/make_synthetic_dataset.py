@@ -58,6 +58,68 @@ def broadband_noise(rng, shape, scale):
     return out * scale
 
 
+def vascular_tree(rng, shape, roots, n_roots=4, steps=None, branch_p=0.06,
+                  radius0=None):
+    """Branching-random-walk vessel tree density in [0, 1].
+
+    Real lung parenchyma owes its registrability to the vascular tree:
+    bright (≈ soft-tissue HU) branching tubes across scales give every
+    local window unambiguous structure — exactly what band-limited noise
+    lacks (DESIGN.md §2a "when refinement helps"). Walks start near the
+    hilum (``roots``), persist in direction with smooth turning, deposit
+    spherical splats of decaying radius, and branch with probability
+    ``branch_p`` per step (child radius × 0.75, direction deflected).
+    """
+    D, W, H = shape
+    steps = steps or int(3.0 * max(shape))
+    radius0 = radius0 or max(1.5, 0.018 * max(shape))
+    vol = np.zeros(shape, np.float32)
+    # precompute a small splat ball per integer radius
+    splats = {}
+
+    def splat(r):
+        ri = max(1, int(np.ceil(r)))
+        if ri not in splats:
+            g = np.mgrid[-ri:ri + 1, -ri:ri + 1, -ri:ri + 1].astype(np.float32)
+            d2 = (g ** 2).sum(0)
+            splats[ri] = np.maximum(0.0, 1.0 - d2 / (ri * ri)).astype(np.float32)
+        return ri, splats[ri]
+
+    stack = []
+    for _ in range(n_roots):
+        pos = np.asarray(roots) + rng.normal(scale=0.03 * max(shape), size=3)
+        dirn = rng.normal(size=3)
+        dirn /= np.linalg.norm(dirn) + 1e-6
+        stack.append((pos, dirn, radius0, steps))
+    while stack:
+        pos, dirn, r, n = stack.pop()
+        for _ in range(int(n)):
+            pos = pos + dirn * max(1.0, 0.6 * r)
+            if not ((0 <= pos) & (pos < np.asarray(shape))).all():
+                break
+            ri, ball = splat(r)
+            z, y, x = (int(pos[0]), int(pos[1]), int(pos[2]))
+            zlo, ylo, xlo = max(z - ri, 0), max(y - ri, 0), max(x - ri, 0)
+            zhi, yhi, xhi = (min(z + ri + 1, D), min(y + ri + 1, W),
+                             min(x + ri + 1, H))
+            vol[zlo:zhi, ylo:yhi, xlo:xhi] = np.maximum(
+                vol[zlo:zhi, ylo:yhi, xlo:xhi],
+                ball[zlo - (z - ri):zhi - (z - ri),
+                     ylo - (y - ri):yhi - (y - ri),
+                     xlo - (x - ri):xhi - (x - ri)])
+            turn = rng.normal(scale=0.25, size=3)
+            dirn = dirn + turn
+            dirn /= np.linalg.norm(dirn) + 1e-6
+            r *= 0.999
+            if rng.uniform() < branch_p and r > 0.8:
+                child = dirn + rng.normal(scale=0.8, size=3)
+                child /= np.linalg.norm(child) + 1e-6
+                stack.append((pos.copy(), child, r * 0.75, n * 0.5))
+            if r < 0.6:
+                break
+    return np.clip(vol, 0.0, 1.0)
+
+
 def make_phantom(rng, sz, texture="banded"):
     """Lung-like CT phantom in HU, SAR orientation, (D, W, H)."""
     D = W = H = sz
@@ -72,9 +134,17 @@ def make_phantom(rng, sz, texture="banded"):
         lc = cx + np.array([0, -0.05 * sz, side * 0.17 * sz])
         lung = (((zz - lc[0]) / (0.28 * sz)) ** 2 + ((yy - lc[1]) / (0.2 * sz)) ** 2
                 + ((xx - lc[2]) / (0.13 * sz)) ** 2) < 1.0
-        tex = (broadband_noise(rng, ct.shape, 1.0) if texture == "broadband"
+        tex = (broadband_noise(rng, ct.shape, 1.0)
+               if texture in ("broadband", "vascular")
                else smooth_noise(rng, ct.shape, 1.0))
         ct[lung] = -850.0 + 60 * tex[lung]
+        if texture == "vascular":
+            # vessel tree rooted at the hilum (medial lung edge): bright
+            # branching tubes toward soft-tissue HU, the structure that
+            # makes local similarity rank registrations in real CT
+            hilum = lc + np.array([0.0, 0.0, -side * 0.10 * sz])
+            vess = vascular_tree(rng, ct.shape, hilum)
+            ct[lung] = ct[lung] + 800.0 * vess[lung]
         seg[lung] = 1.0
     return ct, seg
 
@@ -231,11 +301,14 @@ if __name__ == "__main__":
     ap.add_argument("--deformation_rank", type=int, default=0,
                     help="draw deformations from a shared low-rank smooth "
                          "subspace (0 = independent fields)")
-    ap.add_argument("--texture", choices=("banded", "broadband"),
+    ap.add_argument("--texture", choices=("banded", "broadband", "vascular"),
                     default="banded",
                     help="lung texture: single 4-voxel octave (banded, the "
-                         "round-2 default) or multi-octave 2-16 voxel "
-                         "(broadband; LNCC-trainable, see DESIGN.md)")
+                         "round-2 default), multi-octave 2-16 voxel "
+                         "(broadband; LNCC-trainable, see DESIGN.md), or "
+                         "broadband + bright branching vessel trees "
+                         "(vascular; restores sim-TRE correlation for "
+                         "instance refinement, DESIGN.md 2a)")
     a = ap.parse_args()
     generate(a.out, a.n_train, a.n_val, a.n_test, a.size, a.n_proj,
              latent=a.latent, seed=a.seed,
