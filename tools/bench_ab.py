@@ -19,6 +19,11 @@ Chip-time priority when the tunnel is scarce (post-outage runbook):
      2.2 --domain projection` (the 32^3 result is -38.1%; DEMO.md).
   7. serving artifact first call: time ServingModel.load +
      first register for /tmp/flagship160.liftreg (compile vs cache-hit).
+  8. 160^3 vascular demo (the big one): train configs on the
+     pre-generated /root/vascular160_data (--texture vascular,
+     deformation_rank 16), then refine_eval both domains — the 32^3
+     controlled experiment predicts a sub-voxel refinement floor
+     (DEMO.md "Texture controls the refinement floor").
 
 Run:  python tools/bench_ab.py [--skip-train] 2>&1 | tee /tmp/ab.log
 """
