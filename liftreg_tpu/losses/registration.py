@@ -36,10 +36,14 @@ def sigmoid_decay(ep, static=5, k=5):
 def displacement_reg(disp, reduction="mean", weights=None):
     """mean (or per-sample-mean-then-sum) of ``||grad disp||^2`` with
     spacing ``2/(N-1)`` (``SubspaceLoss.py:51-67``). ``weights`` (B,)
-    zero out pad rows (``mesh.pad_batch``) in either reduction."""
+    zero out pad rows (``mesh.pad_batch``) in either reduction.
+    ``reduction="none"`` returns the per-sample vector (refine.py's
+    per-case best-iterate selection)."""
     sp = 2.0 / (np.array(disp.shape[2:]) - 1.0)
     l2 = fd.grad_norm_sq(disp, sp)
     per_sample = jnp.mean(l2.reshape(l2.shape[0], -1), axis=1)
+    if reduction == "none":
+        return per_sample
     if weights is None:
         if reduction == "mean":
             return jnp.mean(l2)

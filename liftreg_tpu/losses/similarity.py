@@ -29,7 +29,17 @@ def _batch_mean(per_sample, weights):
     return jnp.sum(per_sample * w) / jnp.maximum(jnp.sum(w), 1.0)
 
 
-def ncc_loss(pred, target, weights=None):
+def _reduce(per_sample_cc, weights, reduction):
+    """``reduction="mean"``: scalar ``1 - batch_mean(cc)`` (the training
+    contract, unchanged). ``"none"``: per-sample loss vector ``1 - cc_i``
+    (its mean equals the scalar; used by per-case selection in refine.py).
+    """
+    if reduction == "none":
+        return 1.0 - per_sample_cc
+    return 1.0 - _batch_mean(per_sample_cc, weights)
+
+
+def ncc_loss(pred, target, weights=None, reduction="mean"):
     """1 - mean_batch NCC. Matches ``layers/losses.py:14-29`` including its
     ``+1e-10`` on the centered values."""
     b = pred.shape[0]
@@ -39,10 +49,10 @@ def ncc_loss(pred, target, weights=None):
     ym = y - jnp.mean(y, axis=1, keepdims=True) + 1e-10
     ncc = jnp.mean(xm * ym, axis=1) / jnp.sqrt(
         jnp.mean(xm ** 2, axis=1) * jnp.mean(ym ** 2, axis=1))
-    return 1.0 - _batch_mean(ncc, weights)
+    return _reduce(ncc, weights, reduction)
 
 
-def ncc_sqr_loss(pred, target, weights=None):
+def ncc_sqr_loss(pred, target, weights=None, reduction="mean"):
     """Squared-NCC variant of ``layers/layers.py:238-255``: per-channel
     squared correlation, channel-mean, batch-sum, ``1 - sum/B``."""
     b, c = pred.shape[0], pred.shape[1]
@@ -52,7 +62,7 @@ def ncc_sqr_loss(pred, target, weights=None):
     ym = y - jnp.mean(y, axis=2, keepdims=True)
     ncc_sqr = (jnp.mean(xm * ym, axis=2) ** 2) / (
         jnp.mean(xm ** 2, axis=2) * jnp.mean(ym ** 2, axis=2) + 1e-12)
-    return 1.0 - _batch_mean(jnp.mean(ncc_sqr, axis=1), weights)
+    return _reduce(jnp.mean(ncc_sqr, axis=1), weights, reduction)
 
 
 def _ngf_gradient(x, eps):
@@ -68,13 +78,13 @@ def _ngf_gradient(x, eps):
     return g / jnp.sqrt(jnp.sum(g ** 2, axis=-1, keepdims=True) + eps)
 
 
-def ngf_loss(i0, i1, eps=1e-10, weights=None):
+def ngf_loss(i0, i1, eps=1e-10, weights=None, reduction="mean"):
     """Normalized-gradient-field loss for 2D images (``layers/losses.py:31-58``)."""
     g0 = _ngf_gradient(i0, eps)
     g1 = _ngf_gradient(i1, eps)
     dot = jnp.sum(g0 * g1, axis=-1)
     per_sample = jnp.mean(dot.reshape(dot.shape[0], -1) ** 2, axis=1)
-    return 1.0 - _batch_mean(per_sample, weights)
+    return _reduce(per_sample, weights, reduction)
 
 
 _SOBEL_BASE = jnp.asarray([[1.0, 2.0, 1.0], [2.0, 4.0, 2.0], [1.0, 2.0, 1.0]])
@@ -149,7 +159,8 @@ def _smooth_triangle(x, k):
     return num / den
 
 
-def lncc_loss(pred, target, win=9, eps=1e-5, weights=None, smooth=0):
+def lncc_loss(pred, target, win=9, eps=1e-5, weights=None, smooth=0,
+              reduction="mean"):
     """Local NCC over ``win``-cubed windows, 1 - mean(cc^2).
 
     ``smooth``: optional pre-filter applied to BOTH images before the
@@ -182,7 +193,7 @@ def lncc_loss(pred, target, win=9, eps=1e-5, weights=None, smooth=0):
     var_j = jnp.maximum(sj2 - 2 * mu_j * sj + mu_j * mu_j * n, 0.0)
     cc = (cross * cross) / (var_i * var_j + eps)
     per_sample = jnp.mean(cc.reshape(cc.shape[0], -1), axis=1)
-    return 1.0 - _batch_mean(per_sample, weights)
+    return _reduce(per_sample, weights, reduction)
 
 
 SIMILARITY_REGISTRY = {

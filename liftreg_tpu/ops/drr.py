@@ -51,6 +51,14 @@ def calc_relative_atten_coef(img):
     return (img + 1000.0) / 1000.0 * 0.2
 
 
+def normalize_drr(proj):
+    """DRR clip [0, 6] -> [-1, 1] — the dataset's stored-projection
+    normalization (``Registration2D3DDataset.py:95-96``). THE single
+    definition; ``pipeline.normalize_drr`` and the projection refiner
+    import it."""
+    return jnp.clip(proj, 0.0, 6.0) / 6.0 * 2.0 - 1.0
+
+
 def calc_relative_atten_coef_preprocessing(img):
     """The preprocessing tool's unit-less variant: ``(clip(img,-1024)+1024)/1024``
     (``tools/preprocessing.py:119-122``)."""

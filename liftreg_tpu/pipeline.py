@@ -26,9 +26,8 @@ def normalize_hu(vol_hu):
     return jnp.clip(vol_hu, -1000.0, 0.0) / 1000.0 * 2.0 + 1.0
 
 
-def normalize_drr(proj):
-    """DRR clip [0, 6] -> [-1, 1] (``Registration2D3DDataset.py:95-96``)."""
-    return jnp.clip(proj, 0.0, 6.0) / 6.0 * 2.0 - 1.0
+# re-export: the single definition lives with the projector (ops/drr.py)
+normalize_drr = drr.normalize_drr
 
 
 class RegistrationPipeline:
@@ -102,7 +101,9 @@ class RegistrationPipeline:
                     self.img_sz, self.poses, self.resolution, self.spacing,
                     sim=refine_sim, sim_opts=refine_sim_opts,
                     n_steps=int(refine_steps), lr=refine_lr,
-                    reg_factor=refine_reg_factor, proj_norm="drr")
+                    reg_factor=refine_reg_factor, proj_norm="drr",
+                    warp_taps_dtype=warp_taps_dtype,
+                    mesh=self.model.mesh)
             else:
                 raise ValueError(f"refine_domain {refine_domain!r} not in "
                                  f"('image', 'projection')")
@@ -193,7 +194,15 @@ class RegistrationPipeline:
             inputs["source_label"] = source_seg
             inputs["target_label"] = jnp.ones_like(source_seg)
         out = self.model.apply(params, inputs, pca)
-        if self._refiner is not None and self.refine_domain == "projection":
+        if self._refiner is not None:
+            # refine_domain "image" needs a target CT, which this entry by
+            # definition does not have — raising beats silently serving an
+            # unrefined program the caller believes is refined
+            if self.refine_domain != "projection":
+                raise ValueError(
+                    "register_projections with refine_steps requires "
+                    "refine_domain='projection' (image-domain refinement "
+                    "needs a target CT, which this entry does not take)")
             return self._refine_tail(out, pca, source_hu, inputs)
         return out["warped"], out["phi"]
 

@@ -39,36 +39,44 @@ from .ops import drr, resample
 
 def _build_refine(losses_fn, tx, n_steps):
     """Shared refinement loop: ``n_steps`` adam updates in a ``lax.scan``,
-    returning the BEST iterate by the batch objective (adam can overshoot
-    near convergence; selecting the argmin iterate guarantees the returned
-    registration is never worse than the amortized prediction —
-    ``history[-1] <= history[0]`` by construction).
+    returning PER SAMPLE the best iterate by that sample's objective (adam
+    can overshoot near convergence, and one diverging batch element must
+    not drag the others' selection — each case independently can never end
+    worse than its amortized prediction).
 
-    ``losses_fn(z, *args) -> (total, (sim, phi, warped))``. The returned
-    ``refine(coefs0, *args)`` evaluates z_0..z_n inside the scan (the
-    trajectory is the history's first n_steps entries), then one final
-    forward on the selected iterate yields the outputs and the history's
-    last entry. Selection is by the batch-mean objective (per-sample
-    selection would need per-sample losses).
+    ``losses_fn(z, *args) -> (per_sample_total (B,), (per_sample_sim (B,),
+    phi, warped))``; gradients are taken through the batch mean (identical
+    to the batched-scalar gradient). The returned ``refine(coefs0, *args)``
+    evaluates z_0..z_n inside the scan (the batch-mean trajectory is the
+    history's first n_steps entries), then one final forward on the
+    selected per-sample iterates yields the outputs and the history's last
+    entry. Selection uses ``where(total_i < best_i)`` — NaN totals never
+    enter ``best`` (``x < NaN`` is False), so a blown-up step cannot freeze
+    selection.
     """
 
     @jax.jit
     def refine(coefs0, *args):
-        grad_fn = jax.value_and_grad(lambda z: losses_fn(z, *args),
-                                     has_aux=True)
+        def mean_loss(z):
+            per_total, aux = losses_fn(z, *args)
+            return jnp.mean(per_total), (per_total, aux)
+
+        grad_fn = jax.value_and_grad(mean_loss, has_aux=True)
 
         def step(carry, _):
             z, opt_state, best_z, best_total = carry
-            (total, (sim_loss, _, _)), g = grad_fn(z)
-            better = total < best_total
-            best_z = jnp.where(better, z, best_z)
-            best_total = jnp.minimum(total, best_total)
+            (total, (per_total, (per_sim, _, _))), g = grad_fn(z)
+            better = per_total < best_total            # (B,), False on NaN
+            best_z = jnp.where(better[:, None], z, best_z)
+            best_total = jnp.where(better, per_total, best_total)
             updates, opt_state = tx.update(g, opt_state, z)
             z = optax.apply_updates(z, updates)
-            return (z, opt_state, best_z, best_total), (total, sim_loss)
+            return (z, opt_state, best_z, best_total), \
+                (total, jnp.mean(per_sim))
 
         z0 = coefs0.astype(jnp.float32)
-        init = (z0, tx.init(z0), z0, jnp.asarray(jnp.inf, jnp.float32))
+        B = z0.shape[0]
+        init = (z0, tx.init(z0), z0, jnp.full((B,), jnp.inf, jnp.float32))
         # n_steps + 1 evals covers z_0 (unrefined) through z_n (fully
         # stepped); the last update's result is evaluated, not discarded
         (_, _, best_z, _), (totals, sims) = jax.lax.scan(
@@ -78,11 +86,16 @@ def _build_refine(losses_fn, tx, n_steps):
             "coefs": best_z,
             "phi": phi,
             "warped": warped,
-            # entries 0..n-1: the z_0..z_{n-1} trajectory; last entry: the
-            # SELECTED iterate's objective (== min over the trajectory)
-            "total_history": jnp.concatenate([totals[:-1],
-                                              sel_total[None]]),
-            "sim_history": jnp.concatenate([sims[:-1], sel_sim[None]]),
+            # entries 0..n-1: batch-mean z_0..z_{n-1} trajectory; last
+            # entry: the SELECTED iterates' batch-mean objective
+            # (<= entry 0 per sample, hence also in the mean)
+            "total_history": jnp.concatenate(
+                [totals[:-1], jnp.mean(sel_total)[None]]),
+            "sim_history": jnp.concatenate(
+                [sims[:-1], jnp.mean(sel_sim)[None]]),
+            # per-sample selected objectives, for per-case reporting
+            "total_per_sample": sel_total,
+            "sim_per_sample": sel_sim,
         }
 
     return refine
@@ -135,17 +148,24 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
 
     def _losses(coefs, pca, moving, target):
         disp, phi, warped = _forward(coefs, pca, moving)
-        sim_loss = sim_fn(warped, target)
-        total = sim_loss + reg_factor * displacement_reg(disp)
+        sim_loss = sim_fn(warped, target, reduction="none")       # (B,)
+        total = sim_loss + reg_factor * displacement_reg(
+            disp, reduction="none")
         return total, (sim_loss, phi, warped)
 
     return _build_refine(_losses, tx, n_steps)
 
 
+#: similarities whose implementation is 3D-volume-only (NCDHW box-filter
+#: convs) and therefore invalid on (B, P, pw, ph) projections
+_VOLUME_ONLY_SIMS = ("lncc",)
+
+
 def make_projection_refiner(img_sz, poses, resolution,
                             spacing=(2.2, 2.2, 2.2), sim="ncc",
                             sim_opts=None, n_steps=30, lr=0.05,
-                            reg_factor=1e-3, proj_norm="drr"):
+                            reg_factor=1e-3, proj_norm="drr",
+                            warp_taps_dtype=None, mesh=None):
     """Projection-domain refinement: no target CT needed at serving time.
 
     The deployment scenario for 2D/3D registration is CBCT-free treatment
@@ -178,6 +198,12 @@ def make_projection_refiner(img_sz, poses, resolution,
       normalized per ``proj_norm``. The returned ``warped`` is the warped
       attenuation volume.
     """
+    if sim in _VOLUME_ONLY_SIMS:
+        raise ValueError(
+            f"similarity {sim!r} is 3D-volume-only (NCDHW box-filter "
+            f"convolutions) and cannot score (B, P, pw, ph) projections — "
+            f"use a 2D-capable similarity for projection-domain "
+            f"refinement (e.g. 'ncc', 'ngf')")
     img_sz = tuple(int(s) for s in img_sz)
     resolution = tuple(int(r) for r in resolution)
     spacing = tuple(float(s) for s in spacing)
@@ -188,7 +214,7 @@ def make_projection_refiner(img_sz, poses, resolution,
 
     def _normalize(p):
         if proj_norm == "drr":
-            return jnp.clip(p, 0.0, 6.0) / 6.0 * 2.0 - 1.0
+            return drr.normalize_drr(p)
         if proj_norm == "minmax":
             lo, hi = jnp.min(p), jnp.max(p)
             return (p - lo) / (hi - lo) * 2.0 - 1.0
@@ -198,16 +224,19 @@ def make_projection_refiner(img_sz, poses, resolution,
         disp = expand_pca(coefs, pca["vectors"], pca["mean"], img_sz)
         phi = disp + identity_map(img_sz)[None]
         # attenuation is nonnegative physical density — no [-1,1]
-        # intensity shift around the warp
+        # intensity shift around the warp. mesh/taps match make_refiner:
+        # a sharded batch must keep the shard_map through every scan step.
         warped = resample.warp_image(moving_atten, phi, zero_boundary=True,
-                                     scale_intensity=False)
+                                     scale_intensity=False,
+                                     taps_dtype=warp_taps_dtype, mesh=mesh)
         proj = drr.project(warped[:, 0], poses, resolution, spacing)
         return disp, phi, warped, _normalize(proj)
 
     def _losses(coefs, pca, moving_atten, target_proj):
         disp, phi, warped, proj = _forward(coefs, pca, moving_atten)
-        sim_loss = sim_fn(proj, target_proj)
-        total = sim_loss + reg_factor * displacement_reg(disp)
+        sim_loss = sim_fn(proj, target_proj, reduction="none")    # (B,)
+        total = sim_loss + reg_factor * displacement_reg(
+            disp, reduction="none")
         return total, (sim_loss, phi, warped)
 
     return _build_refine(_losses, tx, n_steps)

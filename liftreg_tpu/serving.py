@@ -61,6 +61,14 @@ def export_serving(pipe, params, pca, batch_size: int, out_path: str,
     if entry not in ("register", "register_projections"):
         raise ValueError(f"entry {entry!r} not in "
                          f"('register', 'register_projections')")
+    if entry == "register_projections" and getattr(pipe, "refine_steps", 0) \
+            and getattr(pipe, "refine_domain", "image") != "projection":
+        # the export would silently produce an amortized-only program
+        # whose meta still claims refine_steps>0
+        raise ValueError(
+            "entry='register_projections' with refine_steps requires the "
+            "pipeline to be built with refine_domain='projection' "
+            "(image-domain refinement needs a target CT)")
     sz = pipe.img_sz
     # plain nested dicts: the exported calling convention hashes the input
     # treedef, and msgpack restore produces plain dicts — exporting with

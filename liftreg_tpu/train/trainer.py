@@ -37,6 +37,7 @@ from ..ops.fd import compute_jacobi_map
 from ..parallel import mesh as mesh_lib
 from ..utils import visualize
 from ..utils.checkpoint import resume_train, save_checkpoint
+from ..utils.general import parse_bool
 from ..utils.io_utils import make_dir, save_deformations, save_fig_3d
 from ..utils.metrics import get_multi_metric
 from ..ops.resample import warp_image
@@ -207,20 +208,14 @@ class RegistrationTrainer(TrainerBase):
             model_kwargs["warp_taps_dtype"] = jnp.bfloat16
         if "mask_ct" in model_cfg and \
                 model_cls.__name__ != "RegNet2D3D":
-            # sim on raw vs lung-masked CT (model docstring; LNCC configs).
-            # Tolerate stringified configs: "false"/"0"/"no" mean False
-            # (bool("false") would silently invert the user's intent).
-            raw = model_cfg["mask_ct"]
-            model_kwargs["mask_ct"] = (raw if isinstance(raw, bool) else
-                                       str(raw).lower() not in
-                                       ("false", "0", "no"))
+            # sim on raw vs lung-masked CT (model docstring; LNCC configs);
+            # parse_bool tolerates stringified configs
+            model_kwargs["mask_ct"] = parse_bool(model_cfg["mask_ct"])
         if "s2d_encoder" in model_cfg:
             # space-to-depth stages 0+1 (models/s2d.py): same operator,
             # MXU-friendly channel counts (all model families)
-            raw = model_cfg["s2d_encoder"]
-            model_kwargs["s2d_encoder"] = (raw if isinstance(raw, bool)
-                                           else str(raw).lower() not in
-                                           ("false", "0", "no"))
+            model_kwargs["s2d_encoder"] = \
+                parse_bool(model_cfg["s2d_encoder"])
         if self.mesh.devices.size > 1:
             # shard_map the warps so each chip warps only its own batch
             # shard (resample.warp_image mesh docstring)

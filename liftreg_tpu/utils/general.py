@@ -49,3 +49,15 @@ def lift_to_dimension(a, dim):
     if a.ndim == dim:
         return a
     return a.reshape([1] * (dim - a.ndim) + list(a.shape))
+
+
+def parse_bool(raw, default=False):
+    """Config-bool parser shared by the trainer and the export tool: real
+    bools pass through; strings "false"/"0"/"no" (any case) mean False,
+    anything else truthy-spelled means True. ``bool("false")`` is True, so
+    naive casting silently inverts a user's intent."""
+    if raw is None:
+        return default
+    if isinstance(raw, bool):
+        return raw
+    return str(raw).lower() not in ("false", "0", "no")

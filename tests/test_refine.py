@@ -1,5 +1,6 @@
 """Instance refinement: test-time optimization over the PCA subspace."""
 import numpy as np
+import pytest
 
 import jax
 import jax.numpy as jnp
@@ -294,3 +295,50 @@ def test_projection_refiner_robust_to_measurement_noise():
     res_clean = refiner(z0, pca, atten, clean)
     d1_clean = float(jnp.linalg.norm(res_clean["coefs"] - z_true))
     assert d1_clean < 0.1 * d0, (d0, d1_clean)
+
+
+def test_refine_per_sample_never_worse():
+    """B=2 where one element is adversarial (already aligned, huge lr
+    pressure): each sample independently must end no worse than its own
+    amortized objective — batch-mean selection would let a diverging
+    element be returned worse."""
+    pca, moving, target, _ = _problem(10)
+    moving2 = jnp.concatenate([moving, moving])
+    # element 0: real problem; element 1: already perfectly aligned
+    target2 = jnp.concatenate([target, moving])
+    refiner = make_refiner((SZ, SZ, SZ), n_steps=25, lr=5.0)  # destructive
+    res = refiner(jnp.zeros((2, LATENT)), pca, moving2, target2)
+    # per-sample selected totals must not exceed the z0 objective: z0 is
+    # in the scanned trajectory, so selection can always fall back to it
+    z0res = np.asarray(res["total_per_sample"])
+    # evaluate z0 objective directly via a 0-step refiner
+    zero = make_refiner((SZ, SZ, SZ), n_steps=0, lr=0.1)
+    base0 = np.asarray(zero(jnp.zeros((2, LATENT)), pca, moving2,
+                            target2)["total_per_sample"])
+    assert (z0res <= base0 + 1e-6).all(), (z0res, base0)
+
+
+def test_projection_refiner_rejects_volume_only_sim():
+    from liftreg_tpu.ops import drr
+    from liftreg_tpu.refine import make_projection_refiner
+
+    poses = drr.synthesize_poses(30.0, 2, SZ)
+    with pytest.raises(ValueError, match="3D-volume-only"):
+        make_projection_refiner((SZ, SZ, SZ), poses, (24, 24),
+                                sim="lncc")
+
+
+def test_register_projections_rejects_image_refiner():
+    from liftreg_tpu.pipeline import RegistrationPipeline
+
+    pipe = RegistrationPipeline((SZ, SZ, SZ), latent_dim=4, n_proj=2,
+                                refine_steps=3, refine_domain="image")
+    rng = np.random.default_rng(0)
+    pca = {"vectors": jnp.asarray(
+        rng.normal(size=(4, 3 * SZ ** 3)).astype(np.float32) * 0.01),
+        "mean": jnp.zeros((3 * SZ ** 3,), jnp.float32)}
+    params = pipe.init_params(jax.random.PRNGKey(0), pca)
+    src = jnp.zeros((1, 1, SZ, SZ, SZ), jnp.float32) - 500.0
+    proj = jnp.zeros((1, 2) + pipe.resolution, jnp.float32)
+    with pytest.raises(ValueError, match="refine_domain"):
+        pipe.register_projections(params, pca, src, proj)

@@ -107,28 +107,26 @@ def main():
                 refine_reg_factor=float(loss_cfg.get("min_reg_factor",
                                                      1e-3)))
 
-        def cfg_bool(key, default):
-            raw = model_cfg.get(key, default)
-            return raw if isinstance(raw, bool) else \
-                str(raw).lower() not in ("false", "0", "no")
+        from liftreg_tpu.utils.general import parse_bool
 
         bf16 = jnp.bfloat16
         compute_dtype = bf16 \
             if model_cfg.get("compute_dtype") == "bfloat16" else None
-        # match the trainer's model exactly (trainer.py:202-216): taps
-        # dtype and mask_ct change what the warp computes, so dropping
-        # them would serve a different function than the trained model
+        # match the trainer's model EXACTLY (trainer.py:202-216): the
+        # trainer uses f32-exact taps unless warp_taps_dtype is explicitly
+        # "bfloat16" — the pipeline's own compute_dtype->taps default
+        # would silently serve a different warp than the trained model
         warp_taps = bf16 \
-            if model_cfg.get("warp_taps_dtype") == "bfloat16" \
-            else compute_dtype
+            if model_cfg.get("warp_taps_dtype") == "bfloat16" else None
         pipe = RegistrationPipeline(
             img_sz,
             latent_dim=int(model_cfg.get("latent_dim", 56)),
             n_proj=int(model_cfg.get("drr_feature_num", 4)),
             compute_dtype=compute_dtype,
             warp_taps_dtype=warp_taps,
-            mask_ct=cfg_bool("mask_ct", True),
-            s2d_encoder=cfg_bool("s2d_encoder", False), **refine_kw)
+            mask_ct=parse_bool(model_cfg.get("mask_ct"), default=True),
+            s2d_encoder=parse_bool(model_cfg.get("s2d_encoder"),
+                                   default=False), **refine_kw)
 
         pca = load_pca(model_cfg["pca_path"],
                        dtype=bf16 if model_cfg.get("pca_dtype") == "bfloat16"

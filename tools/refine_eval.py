@@ -92,13 +92,22 @@ def main():
                           base_tests)
         if args.domain == "projection":
             if refiner is None:
+                from liftreg_tpu.refine import _VOLUME_ONLY_SIMS
+                proj_sim_kw = dict(sim_kw)
+                if proj_sim_kw["sim"] in _VOLUME_ONLY_SIMS:
+                    # e.g. an LNCC experiment: its 3D windowed sim cannot
+                    # score 2D projections — fall back to NCC loudly
+                    print(f"note: sim_class {proj_sim_kw['sim']!r} is "
+                          f"3D-only; projection-domain refinement uses "
+                          f"'ncc' instead")
+                    proj_sim_kw.update(sim="ncc", sim_opts=None)
                 poses = np.asarray(batch["target_poses"])
                 poses = poses[0] if poses.ndim == 3 else poses
                 refiner = make_projection_refiner(
                     trainer.img_sz, poses,
                     tuple(batch["target_proj"].shape[-2:]),
                     tuple(ds_cfg.get("spacing_to_refer", (2.2, 2.2, 2.2))),
-                    **sim_kw)
+                    **proj_sim_kw)
             # dataset 'source' is normalized HU [-1,1]; invert to HU then
             # to linear attenuation (normalize_hu: clip/1000*2+1)
             hu = (np.asarray(batch["source"]) - 1.0) * 500.0
