@@ -1,7 +1,7 @@
 # Developer conveniences.
 
 .PHONY: test test-fast test-slow bench bench-ab bench-stage0 check-cache \
-	native dryrun clean
+	native dryrun recover clean
 
 test:
 	python -m pytest tests/ -x -q
@@ -29,6 +29,11 @@ bench-stage0:
 # (would silently turn the driver's bench back into a cold 160^3 compile)
 check-cache:
 	python tools/check_cache_trace.py --check
+
+# run the whole post-outage runbook (bench, stage0, A/B, refine timing,
+# refine TRE, artifact timing) the moment the device tunnel answers
+recover:
+	bash tools/post_recovery.sh
 
 native:
 	g++ -O3 -shared -fPIC liftreg_tpu/native/codec.cpp \

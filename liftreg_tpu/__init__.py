@@ -13,6 +13,7 @@ _LAZY = {
     "RegistrationPipeline": ("liftreg_tpu.pipeline", "RegistrationPipeline"),
     "ServingModel": ("liftreg_tpu.serving", "ServingModel"),
     "export_serving": ("liftreg_tpu.serving", "export_serving"),
+    "read_artifact": ("liftreg_tpu.serving", "read_artifact"),
     "make_refiner": ("liftreg_tpu.refine", "make_refiner"),
     "make_projection_refiner": ("liftreg_tpu.refine",
                                 "make_projection_refiner"),

@@ -17,7 +17,24 @@ on TPU hosts and falls back to CPU dev machines. Shapes are specialized
 (batch ``B`` fixed at export); :meth:`ServingModel.register` pads partial
 batches to ``B`` and slices the results, so callers can send 1..B pairs.
 
-Format (flax msgpack, version 1)::
+Two formats, sniffed by magic on load:
+
+* **version 2 (default): zero-copy sections.** A small msgpack header
+  (meta + array descriptors) followed by 64-byte-aligned raw array blobs;
+  the loader mmaps the file and materializes every weight as an
+  ``np.frombuffer`` view — no decode, no copy, so a multi-GB artifact
+  "loads" in milliseconds and the bytes stream straight from the page
+  cache into ``device_put``. Measured on the 160^3 flagship artifact
+  (1.24 GB): v1 msgpack decode 27.4 s -> v2 load ~0.01 s.
+
+      b"LIFTREGv2\\0" | u64 header_len | msgpack header | pad | sections
+      header = {"version": 2, "meta": {...},
+                "exported": {"offset", "length"},
+                "arrays": {"params": [{path, offset, dtype, shape}, ...],
+                           "pca": [...]}}
+      (section offsets are relative to the 64-aligned data start)
+
+* **version 1 (legacy, still loadable): one flax msgpack blob**::
 
     {"version": 1,
      "exported": <jax.export serialized bytes>,
@@ -28,7 +45,9 @@ Format (flax msgpack, version 1)::
 """
 from __future__ import annotations
 
+import mmap
 import os
+import struct
 from typing import Optional, Tuple
 
 import jax
@@ -38,6 +57,9 @@ from flax import serialization
 from jax import export as jax_export
 
 ARTIFACT_VERSION = 1
+ARTIFACT_VERSION_V2 = 2
+_MAGIC_V2 = b"LIFTREGv2\0"
+_ALIGN = 64
 DEFAULT_PLATFORMS = ("tpu", "cpu")
 
 
@@ -45,9 +67,147 @@ def _to_numpy_tree(tree):
     return jax.tree_util.tree_map(lambda x: np.asarray(x), tree)
 
 
+def _walk_arrays(tree, path=()):
+    """Deterministic (path, ndarray) iteration over a nested state dict."""
+    if isinstance(tree, dict):
+        for k in sorted(tree):
+            yield from _walk_arrays(tree[k], path + (str(k),))
+    elif isinstance(tree, (list, tuple)):
+        for i, v in enumerate(tree):
+            yield from _walk_arrays(v, path + (str(i),))
+    else:
+        yield path, np.ascontiguousarray(tree)
+
+
+def _tree_insert(root, path, value):
+    node = root
+    for k in path[:-1]:
+        node = node.setdefault(k, {})
+    node[path[-1]] = value
+
+
+def _write_v2(payload, out_path):
+    exported = bytes(payload["exported"])
+    offset = 0
+
+    def alloc(nbytes):
+        nonlocal offset
+        off = (offset + _ALIGN - 1) // _ALIGN * _ALIGN
+        offset = off + nbytes
+        return off
+
+    blobs = []
+    exp_off = alloc(len(exported))
+    blobs.append((exp_off, exported))
+    arrays = {}
+    for group in ("params", "pca"):
+        descs = []
+        for path, arr in _walk_arrays(payload[group]):
+            off = alloc(arr.nbytes)
+            blobs.append((off, arr))
+            # dtype by NAME: ml_dtypes types (bfloat16) stringify to raw
+            # void ("<V2") via .str but round-trip via np.dtype(name)
+            descs.append({"path": list(path), "offset": off,
+                          "dtype": arr.dtype.name, "shape": list(arr.shape)})
+        arrays[group] = descs
+    header = {"version": ARTIFACT_VERSION_V2, "meta": payload["meta"],
+              "exported": {"offset": exp_off, "length": len(exported)},
+              "arrays": arrays}
+    hdr = serialization.msgpack_serialize(header)
+    prefix_len = len(_MAGIC_V2) + 8 + len(hdr)
+    data_start = (prefix_len + _ALIGN - 1) // _ALIGN * _ALIGN
+
+    tmp = out_path + ".tmp"
+    os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
+    with open(tmp, "wb") as f:
+        f.write(_MAGIC_V2)
+        f.write(struct.pack("<Q", len(hdr)))
+        f.write(hdr)
+        pos = prefix_len
+        for off, blob in blobs:
+            target = data_start + off
+            if target > pos:
+                f.write(b"\0" * (target - pos))
+                pos = target
+            if not isinstance(blob, bytes):
+                # uint8 view, not memoryview: ml_dtypes leaves (bfloat16)
+                # don't support the buffer protocol's format negotiation
+                blob = blob.reshape(-1).view(np.uint8)
+                f.write(blob)
+                pos += blob.nbytes
+            else:
+                f.write(blob)
+                pos += len(blob)
+    os.replace(tmp, out_path)
+    return out_path
+
+
+def _read_v2(path):
+    """mmap the artifact and rebuild the payload with zero-copy array views.
+
+    The returned arrays are read-only ``np.frombuffer`` views into the
+    mapping (numpy keeps the mmap alive); ``device_put`` streams them to
+    the accelerator without an intermediate host copy.
+    """
+    with open(path, "rb") as f:
+        mm = mmap.mmap(f.fileno(), 0, access=mmap.ACCESS_READ)
+    hlen = struct.unpack("<Q", mm[len(_MAGIC_V2):len(_MAGIC_V2) + 8])[0]
+    prefix_len = len(_MAGIC_V2) + 8 + hlen
+    header = serialization.msgpack_restore(
+        bytes(mm[len(_MAGIC_V2) + 8:prefix_len]))
+    version = int(header.get("version", -1))
+    if version != ARTIFACT_VERSION_V2:
+        raise ValueError(
+            f"serving artifact '{path}' has version {version}; this "
+            f"loader supports versions {ARTIFACT_VERSION} and "
+            f"{ARTIFACT_VERSION_V2}")
+    data_start = (prefix_len + _ALIGN - 1) // _ALIGN * _ALIGN
+    payload = {"version": version, "meta": header["meta"]}
+    exp = header["exported"]
+    off = data_start + int(exp["offset"])
+    payload["exported"] = bytes(mm[off:off + int(exp["length"])])
+    for group, descs in header["arrays"].items():
+        tree = {}
+        # msgpack restores the descriptor list as {"0": {...}, "1": {...}}
+        if isinstance(descs, dict):
+            descs = [descs[k] for k in sorted(descs, key=int)]
+        for d in descs:
+            shape = tuple(int(s) for s in d["shape"])
+            count = int(np.prod(shape)) if shape else 1
+            arr = np.frombuffer(mm, dtype=np.dtype(d["dtype"]), count=count,
+                                offset=data_start + int(d["offset"]))
+            path_keys = d["path"]
+            if isinstance(path_keys, dict):
+                path_keys = [path_keys[k] for k in sorted(path_keys, key=int)]
+            _tree_insert(tree, [str(k) for k in path_keys],
+                         arr.reshape(shape))
+        payload[group] = tree
+    return payload
+
+
+def read_artifact(path: str):
+    """Read a serving artifact (either format) into the payload dict
+    ``{"version", "exported", "params", "pca", "meta"}`` without touching
+    any device. v2 arrays are zero-copy mmap views."""
+    with open(path, "rb") as f:
+        magic = f.read(len(_MAGIC_V2))
+    if magic == _MAGIC_V2:
+        return _read_v2(path)
+    with open(path, "rb") as f:
+        payload = serialization.msgpack_restore(f.read())
+    version = int(payload.get("version", -1))
+    if version != ARTIFACT_VERSION:
+        raise ValueError(
+            f"serving artifact '{path}' has version {version}; this "
+            f"loader supports versions {ARTIFACT_VERSION} and "
+            f"{ARTIFACT_VERSION_V2}")
+    return payload
+
+
 def export_serving(pipe, params, pca, batch_size: int, out_path: str,
                    platforms: Tuple[str, ...] = DEFAULT_PLATFORMS,
-                   entry: str = "register") -> str:
+                   entry: str = "register",
+                   artifact_format: int = ARTIFACT_VERSION_V2) -> str:
     """Export a pipeline entry AOT and package it with the weights.
 
     ``pipe``: a built :class:`~liftreg_tpu.pipeline.RegistrationPipeline`;
@@ -56,8 +216,11 @@ def export_serving(pipe, params, pca, batch_size: int, out_path: str,
     ``"register"`` (CT pair in) or ``"register_projections"`` (moving CT +
     measured 2D projections in — the CT-free deployment entry; pair it
     with ``refine_domain="projection"`` to bake in per-case refinement).
-    Returns ``out_path``.
+    ``artifact_format``: 2 (default, zero-copy mmap sections) or 1
+    (legacy single msgpack blob). Returns ``out_path``.
     """
+    if artifact_format not in (ARTIFACT_VERSION, ARTIFACT_VERSION_V2):
+        raise ValueError(f"artifact_format {artifact_format} not in (1, 2)")
     if entry not in ("register", "register_projections"):
         raise ValueError(f"entry {entry!r} not in "
                          f"('register', 'register_projections')")
@@ -96,7 +259,7 @@ def export_serving(pipe, params, pca, batch_size: int, out_path: str,
 
     compute_dtype = pipe.model.compute_dtype
     payload = {
-        "version": ARTIFACT_VERSION,
+        "version": int(artifact_format),
         "exported": exp.serialize(),
         "params": _to_numpy_tree(params_np),
         "pca": _to_numpy_tree(pca_np),
@@ -113,6 +276,8 @@ def export_serving(pipe, params, pca, batch_size: int, out_path: str,
             "entry": entry,
         },
     }
+    if artifact_format == ARTIFACT_VERSION_V2:
+        return _write_v2(payload, out_path)
     blob = serialization.msgpack_serialize(payload, in_place=True)
     tmp = out_path + ".tmp"
     os.makedirs(os.path.dirname(os.path.abspath(out_path)), exist_ok=True)
@@ -158,13 +323,7 @@ class ServingModel:
 
     @classmethod
     def load(cls, path: str) -> "ServingModel":
-        with open(path, "rb") as f:
-            payload = serialization.msgpack_restore(f.read())
-        version = int(payload.get("version", -1))
-        if version != ARTIFACT_VERSION:
-            raise ValueError(
-                f"serving artifact '{path}' has version {version}; this "
-                f"loader supports version {ARTIFACT_VERSION}")
+        payload = read_artifact(path)
         exported = jax_export.deserialize(bytes(payload["exported"]))
         return cls(exported, payload["params"], payload["pca"],
                    payload["meta"])

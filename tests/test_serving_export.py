@@ -89,16 +89,112 @@ def test_loader_needs_no_model_source(artifact, monkeypatch):
     assert w.shape[0] == B and np.isfinite(np.asarray(phi)).all()
 
 
-def test_version_gate(artifact, tmp_path):
+def test_version_gate_v1(artifact, tmp_path):
     from flax import serialization
 
-    with open(artifact["path"], "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
-    payload["version"] = ARTIFACT_VERSION + 1
+    from liftreg_tpu.serving import read_artifact
+
+    payload = read_artifact(artifact["path"])
+    payload = {"version": ARTIFACT_VERSION + 99,
+               "exported": payload["exported"],
+               "params": payload["params"], "pca": payload["pca"],
+               "meta": payload["meta"]}
     bad = tmp_path / "bad.liftreg"
     bad.write_bytes(serialization.msgpack_serialize(payload))
     with pytest.raises(ValueError, match="version"):
         ServingModel.load(str(bad))
+
+
+def test_version_gate_v2(artifact, tmp_path):
+    """Corrupting the v2 header's version field must be caught."""
+    import struct
+
+    from flax import serialization
+
+    from liftreg_tpu.serving import _MAGIC_V2
+
+    raw = bytearray(open(artifact["path"], "rb").read())
+    assert raw[:len(_MAGIC_V2)] == _MAGIC_V2  # default export is v2
+    hlen = struct.unpack(
+        "<Q", raw[len(_MAGIC_V2):len(_MAGIC_V2) + 8])[0]
+    hdr = serialization.msgpack_restore(
+        bytes(raw[len(_MAGIC_V2) + 8:len(_MAGIC_V2) + 8 + hlen]))
+    hdr["version"] = 99
+    new_hdr = serialization.msgpack_serialize(hdr)
+    # same-length header keeps every section offset valid
+    assert len(new_hdr) == hlen
+    raw[len(_MAGIC_V2) + 8:len(_MAGIC_V2) + 8 + hlen] = new_hdr
+    bad = tmp_path / "bad2.liftreg"
+    bad.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="version"):
+        ServingModel.load(str(bad))
+
+
+def test_v1_export_roundtrip_and_format_parity(artifact, tmp_path):
+    """artifact_format=1 still writes a loadable legacy artifact whose
+    weights and program bytes equal the v2 export's."""
+    from liftreg_tpu.serving import read_artifact
+
+    a = artifact
+    v1 = str(tmp_path / "legacy.liftreg")
+    export_serving(a["pipe"], a["params"], a["pca"], batch_size=B,
+                   out_path=v1, platforms=("cpu",), artifact_format=1)
+    p1, p2 = read_artifact(v1), read_artifact(a["path"])
+    assert p1["version"] == 1 and p2["version"] == 2
+    # (exported bytes are NOT compared: two jax_export.export runs of the
+    # same program are behaviorally identical but not byte-identical)
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        p1["params"], p2["params"])
+    jax.tree_util.tree_map(
+        lambda x, y: np.testing.assert_array_equal(np.asarray(x),
+                                                   np.asarray(y)),
+        p1["pca"], p2["pca"])
+    w1, _ = ServingModel.load(v1).register(a["src"], a["tgt"])
+    w2, _ = ServingModel.load(a["path"]).register(a["src"], a["tgt"])
+    np.testing.assert_array_equal(np.asarray(w1), np.asarray(w2))
+
+
+def test_v2_arrays_are_zero_copy_views(artifact):
+    """v2 weights must be read-only buffer views (no decode copy) with
+    64-byte-aligned sections, including bf16 leaves by dtype name."""
+    from liftreg_tpu.serving import read_artifact
+
+    payload = read_artifact(artifact["path"])
+    leaves = jax.tree_util.tree_leaves(payload["params"]) + \
+        jax.tree_util.tree_leaves(payload["pca"])
+    assert leaves
+    for leaf in leaves:
+        assert isinstance(leaf, np.ndarray)
+        assert not leaf.flags.writeable  # frombuffer view, not a copy
+        assert leaf.base is not None
+
+
+def test_v2_preserves_bf16_leaves(tmp_path):
+    """A bf16 PCA basis (the production serving config) must round-trip
+    through the v2 dtype-name descriptors."""
+    pipe = RegistrationPipeline((SZ, SZ, SZ), latent_dim=LATENT,
+                                compute_dtype=jnp.bfloat16)
+    keys = jax.random.split(jax.random.PRNGKey(5), 3)
+    pca = {"vectors": (jax.random.normal(keys[0], (LATENT, 3 * SZ ** 3),
+                                         jnp.float32) * 0.01
+                       ).astype(jnp.bfloat16),
+           "mean": jnp.zeros((3 * SZ ** 3,), jnp.float32)}
+    params = pipe.init_params(keys[1], pca)
+    path = str(tmp_path / "bf16.liftreg")
+    export_serving(pipe, params, pca, batch_size=1, out_path=path,
+                   platforms=("cpu",))
+    from liftreg_tpu.serving import read_artifact
+    restored = read_artifact(path)["pca"]
+    assert restored["vectors"].dtype == np.asarray(pca["vectors"]).dtype
+    np.testing.assert_array_equal(np.asarray(restored["vectors"]),
+                                  np.asarray(pca["vectors"]))
+    srv = ServingModel.load(path)
+    src = jax.random.uniform(keys[2], (1, 1, SZ, SZ, SZ), jnp.float32,
+                             -1000.0, 0.0)
+    w, phi = srv.register(src, src)
+    assert np.isfinite(np.asarray(w)).all()
 
 
 def test_meta_recorded(artifact):
@@ -286,8 +382,6 @@ def test_export_cli_from_trained_experiment(tmp_path):
     import sys as _sys
     from pathlib import Path
 
-    from flax import serialization
-
     from liftreg_tpu.train import RegistrationTrainer
     from liftreg_tpu.utils.checkpoint import load_checkpoint
 
@@ -319,8 +413,8 @@ def test_export_cli_from_trained_experiment(tmp_path):
         env={**os.environ, "JAX_PLATFORMS": "cpu", "PYTHONPATH": repo})
     assert proc.returncode == 0, proc.stderr[-2000:]
 
-    with open(art, "rb") as f:
-        payload = serialization.msgpack_restore(f.read())
+    from liftreg_tpu.serving import read_artifact
+    payload = read_artifact(art)
     ckpt_params = load_checkpoint(ckpt)["params"]
     jax.tree_util.tree_map(np.testing.assert_array_equal,
                            payload["params"], ckpt_params)

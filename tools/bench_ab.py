@@ -5,7 +5,9 @@ Measures (streamed, chunked syncs — DESIGN.md §7 sync-floor rules):
      s2d encoder off/on, pallas PCA expand off/on
   2. training: a jitted train step at B=2 — s2d off/on
 
-Chip-time priority when the tunnel is scarce (post-outage runbook):
+Chip-time priority when the tunnel is scarce (post-outage runbook —
+`bash tools/post_recovery.sh` / `make recover` runs items 1-8 unattended;
+`tools/bench_refine.py` covers items 5 and 7):
   1. `python bench.py` (validate the warm-cache number — the must-win)
   2. `python tools/bench_stage0.py` (stage-0 conv variants)
   3. this script, serving then training

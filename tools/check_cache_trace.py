@@ -33,7 +33,10 @@ trace-adjacent commits.
 """
 import argparse
 import hashlib
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 

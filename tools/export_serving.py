@@ -42,6 +42,9 @@ def main():
                     help="bake N steps of per-case latent refinement into "
                          "the exported program (refine.py)")
     ap.add_argument("--refine_lr", type=float, default=0.05)
+    ap.add_argument("--format", type=int, choices=(1, 2), default=2,
+                    help="artifact format: 2 = zero-copy mmap sections "
+                         "(default), 1 = legacy single msgpack blob")
     ap.add_argument("--entry", choices=("register", "projections"),
                     default="register",
                     help="'projections' exports the CT-free entry "
@@ -159,7 +162,7 @@ def main():
 
     out = export_serving(pipe, params, pca, batch_size=args.batch_size,
                          out_path=args.out, platforms=platforms,
-                         entry=entry)
+                         entry=entry, artifact_format=args.format)
     print(f"wrote {out} ({os.path.getsize(out) / 1e6:.1f} MB, "
           f"platforms={list(platforms)}, batch_size={args.batch_size}, "
           f"entry={entry})")
