@@ -41,16 +41,35 @@ FDCT_SPACING = {
 }
 
 
-def read_points(path):
+def read_points(path, expect_count=None):
     """Read a DirLab landmark txt (tab-separated x y z per line,
-    ``evaluate_dir_lab.py:21-43``)."""
+    ``evaluate_dir_lab.py:21-43``).
+
+    Hardened beyond the reference's parser: tolerates CRLF line endings,
+    trailing tabs/spaces, and runs of whitespace between columns (real
+    DirLab exports vary); like the reference, parsing stops at the first
+    blank line. ``expect_count`` (e.g. 300 for DirLab) raises with a clear
+    message when the file does not hold exactly that many points.
+    """
     pts = []
-    with open(path) as f:
-        for line in f.read().split("\n"):
-            if not line.strip():
+    with open(path, newline="") as f:
+        for lineno, line in enumerate(f.read().split("\n"), start=1):
+            line = line.replace("\r", "").strip()
+            if not line:
                 break
-            vals = line.split("\t")
-            pts.append([float(vals[0]), float(vals[1]), float(vals[2])])
+            vals = line.split()
+            if len(vals) < 3:
+                raise ValueError(
+                    f"{path}:{lineno}: expected 3 whitespace-separated "
+                    f"coordinates, got {len(vals)}: {line!r}")
+            try:
+                pts.append([float(vals[0]), float(vals[1]), float(vals[2])])
+            except ValueError as e:
+                raise ValueError(f"{path}:{lineno}: non-numeric landmark "
+                                 f"coordinate in {line!r}") from e
+    if expect_count is not None and len(pts) != expect_count:
+        raise ValueError(f"{path}: expected {expect_count} landmarks, "
+                         f"parsed {len(pts)}")
     return np.asarray(pts, dtype=np.float32)
 
 
