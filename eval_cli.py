@@ -10,7 +10,7 @@ TRE side by side), use ``tools/refine_eval.py`` with the same setting file.
 import argparse
 import os
 
-from liftreg_tpu.train import RegistrationTrainer
+from liftreg_tpu.train import get_network
 from liftreg_tpu.utils.config import ParameterDict
 from liftreg_tpu.utils.tre import eval_copd_highres
 
@@ -33,7 +33,8 @@ if __name__ == "__main__":
     setting["train"]["save_fig"] = True
     setting["train"]["save_3d_img"] = True
 
-    trainer = RegistrationTrainer(setting)
+    # string DI as in the reference (eval.py:44)
+    trainer = get_network(setting["train"][("network_class", "")])(setting)
     trainer.run()
 
     eval_copd_highres(setting["dataset"]["data_path"],

@@ -27,8 +27,18 @@ def build_optimizer(opt_setting: dict, warming_up: bool = False):
     if optim_type == "adam":
         adam = opt_setting.get("adam", {})
         beta = adam.get("beta", [0.9, 0.999])
-        tx = optax.inject_hyperparams(optax.adam)(
-            learning_rate=lr, b1=float(beta[0]), b2=float(beta[1]), eps=1e-5)
+        # the reference schema carries optim.adam.weight_decay but never
+        # passes it to torch Adam (dead key); here a non-zero value is
+        # honored via adamw (decoupled decay)
+        weight_decay = float(adam.get("weight_decay", 0.0))
+        if weight_decay > 0.0:
+            tx = optax.inject_hyperparams(optax.adamw)(
+                learning_rate=lr, b1=float(beta[0]), b2=float(beta[1]),
+                eps=1e-5, weight_decay=weight_decay)
+        else:
+            tx = optax.inject_hyperparams(optax.adam)(
+                learning_rate=lr, b1=float(beta[0]), b2=float(beta[1]),
+                eps=1e-5)
     else:
         tx = optax.inject_hyperparams(optax.sgd)(learning_rate=lr)
 

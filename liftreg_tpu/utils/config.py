@@ -13,6 +13,92 @@ from __future__ import annotations
 import json
 
 
+class TrackedConfig:
+    """Read-tracking view over a nested config mapping.
+
+    Every ``[key]`` / ``.get(key)`` read records the key's dotted path in a
+    set shared across the whole tree; ``unconsumed()`` then lists every leaf
+    key that was never read. This gives the config system "teeth" the
+    reference lacks: ``ParameterDict`` records what WAS read
+    (``module_parameters.py`` ``int`` tree) but nothing ever checks for keys
+    that were silently ignored (e.g. ``check_best_model_frequency``,
+    ``cur_task_setting.json:28``). The trainer wraps its setting in this and
+    warns about accepted-but-unused keys at the end of construction.
+
+    Quacks like both a plain dict (``get``/``in``/iteration) and a
+    ``ParameterDict`` (``as_dict()``, tuple reads ``cfg[("key", default)]``),
+    so it can flow through every existing consumer unchanged.
+    """
+
+    def __init__(self, data, consumed=None, prefix=""):
+        if hasattr(data, "as_dict"):
+            data = data.as_dict()
+        self._data = data
+        self._consumed = consumed if consumed is not None else set()
+        self._prefix = prefix
+
+    def _path(self, key):
+        return f"{self._prefix}.{key}" if self._prefix else str(key)
+
+    def __contains__(self, key):
+        return key in self._data
+
+    def __getitem__(self, key):
+        if isinstance(key, tuple):  # ParameterDict (key, default[, doc]) read
+            k = key[0]
+            default = key[1] if len(key) > 1 else None
+            return self[k] if k in self._data else default
+        value = self._data[key]
+        self._consumed.add(self._path(key))
+        if isinstance(value, dict):
+            return TrackedConfig(value, self._consumed, self._path(key))
+        return value
+
+    def __setitem__(self, key, value):
+        self._data[key] = value
+        self._consumed.add(self._path(key))
+
+    def get(self, key, default=None):
+        return self[key] if key in self._data else default
+
+    def keys(self):
+        return self._data.keys()
+
+    def items(self):
+        return ((k, self[k]) for k in self._data)
+
+    def __iter__(self):
+        return iter(self._data)
+
+    def __len__(self):
+        return len(self._data)
+
+    def as_dict(self):
+        """Keeps tracking live for consumers that unwrap via ``as_dict()``."""
+        return self
+
+    def raw(self):
+        return self._data
+
+    def consumed(self):
+        return set(self._consumed)
+
+    def unconsumed(self):
+        """Dotted paths of every leaf key that was never read."""
+        out = []
+
+        def walk(node, prefix):
+            for k, v in node.items():
+                p = f"{prefix}.{k}" if prefix else str(k)
+                if isinstance(v, dict):
+                    walk(v, p)
+                elif p not in self._consumed:
+                    out.append(p)
+
+        walk(self._data, self._prefix)
+        return out
+
+
 class ParameterDict:
     def __init__(self, init=None, printSettings=True):
         if init is not None and isinstance(init, ParameterDict):

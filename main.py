@@ -8,7 +8,7 @@ import argparse
 
 import numpy as np
 
-from liftreg_tpu.train import RegistrationTrainer
+from liftreg_tpu.train import get_network
 from liftreg_tpu.utils.experiment import prepare_experiment
 
 
@@ -45,5 +45,8 @@ if __name__ == "__main__":
         args.output_path, args.data_path, args.exp_name, args.setting_path,
         continue_from=args.continue_from)
 
-    trainer = RegistrationTrainer(setting, n_devices=args.n_devices)
+    # string DI as in the reference (main.py:116): train.network_class
+    # names the trainer; reference class-path strings are aliases
+    network_cls = get_network(setting["train"][("network_class", "")])
+    trainer = network_cls(setting, n_devices=args.n_devices)
     trainer.run()
