@@ -266,6 +266,12 @@ class RegistrationTrainer(TrainerBase):
             # sim on raw vs lung-masked CT (model docstring; LNCC configs);
             # parse_bool tolerates stringified configs
             model_kwargs["mask_ct"] = parse_bool(model_cfg["mask_ct"])
+        if "inverse_iters" in model_cfg and \
+                model_cls.__name__ == "RegNet2D3D":
+            # fixed-point inverse-flow iteration count (reference hardcodes
+            # 7, RegNet2D3D.py:144-147); lower it when only the forward phi
+            # matters (e.g. PCA-basis building, VERDICT r3 #3)
+            model_kwargs["inverse_iters"] = int(model_cfg["inverse_iters"])
         if "s2d_encoder" in model_cfg:
             # space-to-depth stages 0+1 (models/s2d.py): same operator,
             # MXU-friendly channel counts (all model families)

@@ -51,6 +51,15 @@ _ap.add_argument("--latent", type=int, default=24)
 # MXU-friendly channel counts — applies to both the dense RegNet stage
 # and the subspace stage
 _ap.add_argument("--s2d", action="store_true")
+# stage-1 throughput knobs: a device-resident dataset cache removes the
+# per-step host->device tunnel transfer (the dominant stage-1 cost when the
+# split fits next to RegNet's activations), and inverse_iters<7 cheapens
+# the fixed-point inverse-flow loop when only the forward phi feeds the
+# basis (VERDICT r3 #3)
+_ap.add_argument("--stage1_cache", default="auto",
+                 help="cache_on_device for stage 1: auto|true|false")
+_ap.add_argument("--stage1_batch", type=int, default=1)
+_ap.add_argument("--stage1_inverse_iters", type=int, default=7)
 _args = _ap.parse_args()
 DATA = _args.data
 OUT = _args.out
@@ -79,10 +88,12 @@ s1["dataset"]["dataset_class"] = "registration2d3d_projloss"
 s1["dataset"]["apply_hu_clip"] = False
 s1["train"]["model_class"] = "regnet2d3d"
 s1["train"]["loss_class"] = "regnet2d3d"
-s1["train"]["model"] = {"drr_feature_num": 4, "s2d_encoder": _args.s2d}
+s1["train"]["model"] = {"drr_feature_num": 4, "s2d_encoder": _args.s2d,
+                        "inverse_iters": _args.stage1_inverse_iters}
 s1["train"]["optim"]["lr"] = 5e-4
-s1["train"]["cache_on_device"] = False
-s1["train"]["dataloader"]["batch_size"] = 1
+s1["train"]["cache_on_device"] = ("auto" if _args.stage1_cache == "auto"
+                                  else _args.stage1_cache.lower() == "true")
+s1["train"]["dataloader"]["batch_size"] = _args.stage1_batch
 RegistrationTrainer(s1).run()
 with open(os.path.join(exp_rn, "cur_task_setting.json"), "w") as f:
     json.dump(s1, f)
@@ -98,6 +109,12 @@ latent = min(_args.latent, X.shape[0])
 vectors, mean = pca_lib.fit_pca(X, latent)
 pca_dir = os.path.join(OUT, "pca_from_regnet")
 pca_lib.save_pca(pca_dir, vectors, mean)
+# explained-variance curve (VERDICT r3 #3: EVR vs TRE): nested subsets of
+# the fitted basis give EVR at every smaller K for free
+for k in sorted({2, 4, 8, 16, latent}):
+    if k <= latent:
+        r = pca_lib.explained_variance_ratio(X, vectors[:k], mean)
+        print(f"  EVR@K={k}: {r:.3f}", flush=True)
 ratio = pca_lib.explained_variance_ratio(X, vectors, mean)
 print(f"STAGE2 pca done, explained variance {ratio:.3f}, "
       f"{round(time.time()-t1,1)}s", flush=True)

@@ -1,0 +1,143 @@
+"""Component-level timing of one refinement step at production scale.
+
+VERDICT r3 #4: the fused refine step measured 209.7 ms (B=4, 160^3) vs a
+~140 ms sum-of-its-parts estimate. This tool measures each part in
+isolation on the chip so the gap is attributable before any optimization:
+
+  * expand_pca forward, and forward+VJP (the thin-matmul basis expansion)
+  * warp forward, and forward + grad-wrt-phi (the gather-law hot spot)
+  * NCC forward+backward on the warped/target pair
+  * displacement_reg (FD smoothness) forward+backward
+  * identity-map add (the per-step phi assembly)
+  * the full fused refine step (make_refiner at n_steps=1), for the total
+
+Usage:  python tools/profile_refine.py [--batch 4] [--size 160]
+        [--latent 56] [--taps bf16|f32] [--pca bf16|f32]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def timed(fn, *args, reps=10, warmup=2):
+    import jax
+    for _ in range(warmup):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / reps * 1000.0
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser(description=__doc__.split("\n")[0])
+    ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--size", type=int, default=160)
+    ap.add_argument("--latent", type=int, default=56)
+    ap.add_argument("--taps", choices=("bf16", "f32"), default="bf16")
+    ap.add_argument("--pca", choices=("bf16", "f32"), default="bf16")
+    ap.add_argument("--reps", type=int, default=10)
+    args = ap.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp
+
+    from liftreg_tpu.coords import identity_map
+    from liftreg_tpu.losses.registration import displacement_reg
+    from liftreg_tpu.losses.similarity import ncc_loss
+    from liftreg_tpu.models.subspace_backproj import expand_pca
+    from liftreg_tpu.ops import resample
+    from liftreg_tpu.refine import make_refiner
+
+    B, sz, L = args.batch, args.size, args.latent
+    taps_dtype = jnp.bfloat16 if args.taps == "bf16" else None
+    pca_dtype = jnp.bfloat16 if args.pca == "bf16" else jnp.float32
+    img_sz = (sz, sz, sz)
+    rng = np.random.default_rng(0)
+    K = 3 * sz ** 3
+    pca = {"vectors": jnp.asarray(
+               (rng.normal(size=(L, K)) * 0.01).astype(np.float32)
+           ).astype(pca_dtype),
+           "mean": jnp.asarray(
+               (rng.normal(size=(K,)) * 0.001).astype(np.float32))}
+    coefs = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    moving = jnp.asarray(rng.uniform(-1, 1, (B, 1, sz, sz, sz))
+                         .astype(np.float32))
+    target = jnp.asarray(rng.uniform(-1, 1, (B, 1, sz, sz, sz))
+                         .astype(np.float32))
+    idm = identity_map(img_sz)
+
+    rows = []
+
+    # 1. expand_pca
+    f_pca = jax.jit(lambda z: expand_pca(z, pca["vectors"], pca["mean"],
+                                         img_sz))
+    rows.append(("expand_pca fwd", timed(f_pca, coefs, reps=args.reps)))
+    g_pca = jax.jit(jax.grad(lambda z: jnp.sum(
+        expand_pca(z, pca["vectors"], pca["mean"], img_sz) ** 2)))
+    rows.append(("expand_pca fwd+vjp", timed(g_pca, coefs, reps=args.reps)))
+
+    # 2. warp
+    disp = f_pca(coefs)
+    phi = disp + idm[None]
+    f_warp = jax.jit(lambda p: resample.warp_image(
+        moving, p, zero_boundary=True, scale_intensity=True,
+        taps_dtype=taps_dtype))
+    rows.append(("warp fwd", timed(f_warp, phi, reps=args.reps)))
+    g_warp = jax.jit(jax.grad(lambda p: jnp.sum(resample.warp_image(
+        moving, p, zero_boundary=True, scale_intensity=True,
+        taps_dtype=taps_dtype))))
+    rows.append(("warp fwd+grad(phi)", timed(g_warp, phi, reps=args.reps)))
+
+    # 3. NCC fwd+bwd on the warped volume
+    warped = f_warp(phi)
+    g_ncc = jax.jit(jax.grad(lambda w: jnp.mean(
+        ncc_loss(w, target, reduction="none"))))
+    rows.append(("ncc fwd+grad", timed(g_ncc, warped, reps=args.reps)))
+
+    # 4. displacement reg fwd+bwd
+    g_reg = jax.jit(jax.grad(lambda d: jnp.mean(
+        displacement_reg(d, reduction="none"))))
+    rows.append(("disp_reg fwd+grad", timed(g_reg, disp, reps=args.reps)))
+
+    # 5. phi assembly
+    f_phi = jax.jit(lambda d: d + idm[None])
+    rows.append(("phi = disp + idm", timed(f_phi, disp, reps=args.reps)))
+
+    # 6. full fused step: n_steps=1 minus n_steps=0 would need two
+    # programs; instead time n_steps=1 and n_steps=3 and difference them
+    # (each extra step adds exactly one scan iteration)
+    t_by_steps = {}
+    for n in (1, 3):
+        ref = make_refiner(img_sz, sim="ncc", n_steps=n, lr=0.05,
+                           reg_factor=1e-3, warp_taps_dtype=taps_dtype)
+        t_by_steps[n] = timed(ref, coefs, pca, moving, target,
+                              reps=max(3, args.reps // 2))
+    per_step = (t_by_steps[3] - t_by_steps[1]) / 2.0
+    rows.append(("refine total n=1", t_by_steps[1]))
+    rows.append(("refine total n=3", t_by_steps[3]))
+    rows.append(("refine per-step (diff)", per_step))
+
+    print(f"\nB={B} {sz}^3 latent={L} taps={args.taps} pca={args.pca} "
+          f"on {jax.devices()[0]}")
+    for name, ms in rows:
+        print(f"{name:<26} {ms:9.1f} ms")
+    parts = sum(ms for name, ms in rows
+                if name in ("expand_pca fwd+vjp", "warp fwd+grad(phi)",
+                            "ncc fwd+grad", "disp_reg fwd+grad",
+                            "phi = disp + idm"))
+    print(f"{'sum of parts':<26} {parts:9.1f} ms  "
+          f"(gap to per-step: {per_step - parts:+.1f} ms)")
+
+
+if __name__ == "__main__":
+    main()
