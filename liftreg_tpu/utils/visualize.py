@@ -49,6 +49,18 @@ def show_current_images(iter_count, iS, iT, iW, iSL=None, iTL=None, iWL=None,
         if p:
             make_dir(p)
 
+    # 1D registration results: line-plot panels, the reference's
+    # _show_current_images_1d layout (``:21-85``) — source / target /
+    # warped-overlay (+ phi, + viz) per batch item
+    if np.asarray(iS).ndim - 2 == 1:
+        for b in range(n_show):
+            _show_1d(np.asarray(iS)[b, 0], np.asarray(iT)[b, 0],
+                     np.asarray(iW)[b, 0],
+                     None if phiWarped is None else np.asarray(phiWarped)[b],
+                     None if vizImages is None else np.asarray(vizImages)[b],
+                     vizName, pair_names[b], tag, byname, byiter, plt)
+        return
+
     arrs = {"source": np.asarray(iS), "target": np.asarray(iT),
             "warped": np.asarray(iW)}
     labels = {}
@@ -115,6 +127,38 @@ def show_current_images(iter_count, iS, iT, iW, iSL=None, iTL=None, iWL=None,
             fig.savefig(os.path.join(byiter, f"{tag}_{pair_names[b]}.png"),
                         dpi=120)
         plt.close(fig)
+
+
+def _show_1d(s, t, w, phi, viz, viz_name, pair_name, tag, byname, byiter,
+             plt):
+    """1D panel (reference ``_show_current_images_1d:21-85``): source,
+    target, warped overlaid on both, optional phi[0] and viz rows."""
+    n_panels = 3 + (phi is not None) + (viz is not None)
+    fig, axes = plt.subplots(1, n_panels, figsize=(3 * n_panels, 3),
+                             squeeze=False)
+    axes = axes[0]
+    axes[0].plot(s)
+    axes[0].set_title("source image", fontsize=8)
+    axes[1].plot(t)
+    axes[1].set_title("target image", fontsize=8)
+    axes[2].plot(t, "g", linestyle=":")
+    axes[2].plot(s, "r", linestyle="--")
+    axes[2].plot(w, linestyle=":")
+    axes[2].set_title("warped image", fontsize=8)
+    k = 3
+    if phi is not None:
+        axes[k].plot(np.asarray(phi)[0])
+        axes[k].set_title("phi", fontsize=8)
+        k += 1
+    if viz is not None:
+        axes[k].plot(np.atleast_1d(np.asarray(viz)).reshape(-1))
+        axes[k].set_title(viz_name or "viz", fontsize=8)
+    fig.tight_layout()
+    if byname:
+        fig.savefig(os.path.join(byname, f"{pair_name}_{tag}.png"), dpi=120)
+    if byiter:
+        fig.savefig(os.path.join(byiter, f"{tag}_{pair_name}.png"), dpi=120)
+    plt.close(fig)
 
 
 def checkerboard_2d(img1, img2, tiles=8):

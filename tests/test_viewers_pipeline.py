@@ -60,6 +60,27 @@ def test_show_current_images_full_panel(tmp_path):
     assert os.path.exists(os.path.join(byiter, "val_iter_000003_b.png"))
 
 
+def test_show_current_images_1d(tmp_path):
+    """1D inputs route to the line-plot panel (reference
+    ``_show_current_images_1d:21-85``)."""
+    from liftreg_tpu.utils.visualize import show_current_images
+    rng = np.random.default_rng(1)
+    B, n = 2, 48
+    sig = lambda: rng.normal(size=(B, 1, n)).astype(np.float32)
+    byname, byiter = str(tmp_path / "byname"), str(tmp_path / "byiter")
+    show_current_images(
+        1, iS=sig(), iT=sig(), iW=sig(),
+        phiWarped=rng.normal(size=(B, 1, n)).astype(np.float32),
+        vizImages=sig(), vizName="v",
+        visual_param={"save_fig": True, "save_fig_num": 2,
+                      "pair_name": ["a", "b"], "iter": "val_iter_000001",
+                      "save_fig_path_byname": byname,
+                      "save_fig_path_byiter": byiter})
+    import os
+    assert os.path.exists(os.path.join(byname, "a_val_iter_000001.png"))
+    assert os.path.exists(os.path.join(byiter, "val_iter_000001_b.png"))
+
+
 def test_fused_pipeline_small():
     from liftreg_tpu.pipeline import RegistrationPipeline
     sz, latent = 32, 4
