@@ -159,9 +159,28 @@ def _smooth_triangle(x, k):
     return num / den
 
 
+def _avg_pool3(x, k):
+    """k^3 average pool with stride k over (B, C, D, W, H)."""
+    import jax.lax as lax
+    return lax.reduce_window(x, 0.0, lax.add,
+                             (1, 1, k, k, k), (1, 1, k, k, k),
+                             "VALID") / float(k ** 3)
+
+
 def lncc_loss(pred, target, win=9, eps=1e-5, weights=None, smooth=0,
-              reduction="mean"):
+              scales=None, reduction="mean"):
     """Local NCC over ``win``-cubed windows, 1 - mean(cc^2).
+
+    ``scales``: optional pyramid, e.g. ``[1, 2, 4]`` — the loss becomes
+    the mean of the windowed LNCC computed at each average-pooled
+    downsampling factor. A win-9 window at full resolution cannot rank
+    displacements beyond ~4 voxels (the 160^3 capture-radius failure
+    measured in DEMO.md "LNCC on the vascular set"); pooling by s makes
+    the same window span s x the physical extent, giving coarse scales
+    the long-range signal and fine scales the precision — the classic
+    coarse-to-fine similarity, fused in one program (avg-pools + box
+    filters, all XLA-fusable). ``None``/``[1]`` is exact single-scale
+    reference behavior.
 
     ``smooth``: optional pre-filter applied to BOTH images before the
     windowed correlation — an odd box width ``k`` used twice (triangle
@@ -174,6 +193,20 @@ def lncc_loss(pred, target, win=9, eps=1e-5, weights=None, smooth=0,
     L(0.1) < L(0)). A scale-space pre-smooth (k=3 suffices) removes the
     blur-cycle term and the same directional derivative becomes uniformly
     negative. See DESIGN.md "LNCC at production scale"."""
+    if scales is not None and list(scales) != [1]:
+        per_scale = []
+        for s in scales:
+            s = int(s)
+            p = pred if s == 1 else _avg_pool3(pred, s)
+            t = target if s == 1 else _avg_pool3(target, s)
+            per_scale.append(lncc_loss(p, t, win=win, eps=eps, smooth=smooth,
+                                       reduction="none"))
+        # per_scale entries are per-sample LOSSES (1 - cc) already —
+        # average them directly, do not pass back through _reduce's 1-x
+        per_sample_loss = jnp.mean(jnp.stack(per_scale), axis=0)
+        if reduction == "none":
+            return per_sample_loss
+        return _batch_mean(per_sample_loss, weights)
     if smooth:
         # pass through unconverted so _smooth_triangle's odd-int check
         # rejects fractional widths (int() here would silently accept

@@ -159,6 +159,37 @@ def test_sim_opts_plumbs_kwargs_into_similarity():
     assert v0 != pytest.approx(v1, rel=1e-4)
 
 
+def test_lncc_multiscale_extends_capture_radius():
+    """scales=[1,2,4] must rank a large (beyond-window) misalignment worse
+    than a small one — the capture-radius failure single-scale win-9 LNCC
+    has at 160^3 (DEMO.md 'LNCC on the vascular set'). Built from smooth
+    broadband-ish texture shifted by 2 vs 8 voxels."""
+    rng = np.random.default_rng(9)
+    n = 48
+    base = rng.normal(size=(n + 16, n + 16, n + 16)).astype(np.float32)
+    from scipy.ndimage import gaussian_filter
+    base = gaussian_filter(base, 3.0)
+    crop = lambda off: jnp.asarray(
+        base[8 + off:8 + off + n, 8:8 + n, 8:8 + n])[None, None]
+    tgt = crop(0)
+    ms = {off: float(losses.lncc_loss(crop(off), tgt, scales=(1, 2, 4),
+                                      smooth=3)) for off in (0, 2, 8)}
+    assert ms[0] < ms[2] < ms[8], ms
+    # scales=[1] is byte-identical to the single-scale path
+    a = float(losses.lncc_loss(crop(2), tgt, scales=[1], smooth=3))
+    b = float(losses.lncc_loss(crop(2), tgt, smooth=3))
+    assert a == b
+    # plumbs through sim_opts like any other kwarg
+    from liftreg_tpu.losses.registration import SubspaceLoss
+    out = {"warped": crop(2), "target": tgt,
+           "params": jnp.zeros((1, 3, n, n, n), jnp.float32)}
+    opted = SubspaceLoss({"sim_class": "lncc",
+                          "sim_opts": {"scales": [1, 2], "smooth": 3}})
+    v = float(opted(out, 0.0)["sim_loss"])
+    want = float(losses.lncc_loss(crop(2), tgt, scales=[1, 2], smooth=3))
+    assert v == pytest.approx(want, rel=1e-6)
+
+
 def test_lncc_smooth_rejects_even_and_fractional_widths():
     x = jnp.zeros((1, 1, 8, 8, 8), jnp.float32)
     for bad in (2, 4, 2.5, 0.5, -3):
