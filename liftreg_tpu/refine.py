@@ -67,7 +67,10 @@ def _build_refine(losses_fn, tx, n_steps):
             z, opt_state, best_z, best_total = carry
             (total, (per_total, (per_sim, _, _))), g = grad_fn(z)
             better = per_total < best_total            # (B,), False on NaN
-            best_z = jnp.where(better[:, None], z, best_z)
+            # broadcast the (B,) mask over z's trailing dims — z is (B, L)
+            # for subspace refinement, (B, 3, g, g, g) for optreg grids
+            best_z = jnp.where(
+                better.reshape((-1,) + (1,) * (z.ndim - 1)), z, best_z)
             best_total = jnp.where(better, per_total, best_total)
             updates, opt_state = tx.update(g, opt_state, z)
             z = optax.apply_updates(z, updates)

@@ -42,15 +42,17 @@ def bench_pca(B=4, sz=160, latents=(56, 128, 256), reps=10):
     from liftreg_tpu.models.subspace_backproj import expand_pca
     from liftreg_tpu.ops.pallas_pca import expand_pca_streamed
 
-    rng = np.random.default_rng(0)
+    # All inputs are generated ON DEVICE: an L=256 bf16 basis is 6.3 GB,
+    # which through the host tunnel takes tens of minutes and broke the
+    # transport on the first run of this tool (rc=1, broken pipe).
     K = 3 * sz ** 3
     rows = []
     for L in latents:
-        V = jnp.asarray((rng.normal(size=(L, K)) * 0.01)
-                        .astype(np.float32)).astype(jnp.bfloat16)
-        mean = jnp.asarray((rng.normal(size=(K,)) * 0.001)
-                           .astype(np.float32))
-        z = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+        k1, k2, k3 = jax.random.split(jax.random.PRNGKey(L), 3)
+        V = (jax.random.normal(k1, (L, K), jnp.bfloat16) * 0.01)
+        mean = jax.random.normal(k2, (K,), jnp.float32) * 0.001
+        z = jax.random.normal(k3, (B, L), jnp.float32)
+        jax.block_until_ready((V, mean, z))
         gb = V.nbytes / 2 ** 30
         xla = jax.jit(lambda z, V=V, mean=mean: jnp.dot(
             z.astype(jnp.bfloat16), V,
@@ -73,18 +75,17 @@ def bench_drr(B=1, sizes=(160, 192), n_proj=4, reps=10):
     from liftreg_tpu.ops.pallas_drr import (backproject_with_mats_pallas,
                                             project_with_mats_pallas)
 
-    rng = np.random.default_rng(1)
     rows = []
     for sz in sizes:
         shape = (sz, sz, sz)
         res = drr.default_resolution(shape)
         poses = drr.synthesize_poses(30.0, n_proj, sz)
         spacing = (2.2, 2.2, 2.2)
-        vol = jnp.asarray(rng.uniform(0, 0.2, (B,) + shape)
-                          .astype(np.float32))
+        k1, k2 = jax.random.split(jax.random.PRNGKey(sz))
+        vol = jax.random.uniform(k1, (B,) + shape, jnp.float32, 0, 0.2)
         Rx, Rz, dx = drr.forward_matrices(poses, shape, res, spacing)
-        proj = jnp.asarray(rng.uniform(0, 6, (B, n_proj) + res)
-                           .astype(np.float32))
+        proj = jax.random.uniform(k2, (B, n_proj) + res, jnp.float32, 0, 6)
+        jax.block_until_ready((vol, proj))
         Bu, Bv = drr.backward_matrices(poses, shape, res)
 
         f_x = jax.jit(lambda v: drr.project_with_mats(v, Rx, Rz, dx))

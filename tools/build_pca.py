@@ -9,7 +9,13 @@ This tool fits the basis from displacement fields, sourced either from
   phi maps are converted to displacements against the identity), or
 * a trained dense-displacement model (e.g. RegNet2D3D) run over the
   training split (``--from_experiment``), the workflow the LiftReg paper
-  describes for constructing the statistical deformation subspace.
+  describes for constructing the statistical deformation subspace, or
+* classical per-pair optimization over the training split's CT pairs
+  (``--from_optreg``, :class:`liftreg_tpu.optreg.DenseRegisterer`) —
+  multi-level control-grid registration needing no trained model at all.
+  This is how a statistical deformation model is bootstrapped when no
+  dense network has converged yet (the paper's simulated pairs come with
+  deformations from exactly this kind of classical registration).
 """
 from __future__ import annotations
 
@@ -78,12 +84,69 @@ def disp_from_experiment(data_path, exp_setting, phase="train"):
     return np.stack(fields)
 
 
+def disp_from_optreg(data_path, phase="train", levels=None, sim="ncc",
+                     batch=2, verbose=True):
+    """Register each (source, target) CT pair of a split by per-pair
+    optimization (:class:`liftreg_tpu.optreg.DenseRegisterer`) and return
+    the recovered displacement fields, (N, 3*D*W*H).
+
+    Volumes are read and normalized exactly as the training dataset reads
+    them (``data/dataset.py:_read_case``: axis-1 flip + linear HU clip to
+    [-1000, 0]) so the basis lives in the same geometry the subspace model
+    trains in.
+    """
+    import jax.numpy as jnp
+
+    from liftreg_tpu.data.dataset import normalize_intensity
+    from liftreg_tpu.optreg import DenseRegisterer
+
+    ids = np.load(os.path.join(data_path, phase, "data_id.npy"),
+                  allow_pickle=True)
+    pre = os.path.join(data_path, "preprocessed")
+
+    def _vol(case_id, side):
+        v = np.flip(np.load(os.path.join(pre, f"{case_id}_{side}.npy"))
+                    .astype(np.float32), axis=1)
+        return normalize_intensity(v, linear_clip=True,
+                                   clip_range=(-1000, 0))[None, None]
+
+    probe = _vol(ids[0], "source")
+    img_sz = probe.shape[2:]
+    kw = {} if levels is None else {"levels": levels}
+    reg = DenseRegisterer(img_sz, sim=sim, warp_taps_dtype=jnp.bfloat16,
+                          **kw)
+    fields = []
+    for i in range(0, len(ids), batch):
+        chunk = ids[i:i + batch]
+        moving = np.concatenate([_vol(c, "source") for c in chunk])
+        target = np.concatenate([_vol(c, "target") for c in chunk])
+        if len(chunk) < batch:                    # pad to the jitted shape
+            pad = batch - len(chunk)
+            moving = np.concatenate([moving, moving[:pad]])
+            target = np.concatenate([target, target[:pad]])
+        out = reg(jnp.asarray(moving), jnp.asarray(target))
+        disp = np.asarray(out["disp"][:len(chunk)], np.float32)
+        if verbose:
+            sims = np.asarray(out["sim_history"])
+            print(f"  [{i + len(chunk):>3}/{len(ids)}] sim "
+                  f"{sims[0]:.4f} -> {sims[-1]:.4f}", flush=True)
+        fields.extend(disp.reshape(len(chunk), -1))
+    return np.stack(fields)
+
+
 if __name__ == "__main__":
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--disp_dir", type=str, default="",
                     help="directory of (3,D,W,H) displacement/phi .npy files")
     ap.add_argument("--from_experiment", type=str, default="",
                     help="cur_task_setting.json of a trained dense model")
+    ap.add_argument("--from_optreg", action="store_true",
+                    help="register train pairs by per-pair optimization "
+                         "(liftreg_tpu.optreg) instead of a trained model")
+    ap.add_argument("--optreg_batch", type=int, default=2)
+    ap.add_argument("--optreg_sim", type=str, default="ncc")
+    ap.add_argument("--optreg_levels", type=str, default="",
+                    help="grid:steps:lr,... e.g. 10:80:0.04,20:60:0.02")
     ap.add_argument("--data_path", type=str, default="")
     ap.add_argument("--out", "-o", required=True,
                     help="output folder for pca_vectors.npy / pca_mean.npy")
@@ -94,8 +157,17 @@ if __name__ == "__main__":
         X = load_disp_fields(args.disp_dir)
     elif args.from_experiment:
         X = disp_from_experiment(args.data_path, args.from_experiment)
+    elif args.from_optreg:
+        levels = None
+        if args.optreg_levels:
+            levels = tuple(tuple(float(x) if i == 2 else int(x)
+                                 for i, x in enumerate(lv.split(":")))
+                           for lv in args.optreg_levels.split(","))
+        X = disp_from_optreg(args.data_path or ".", levels=levels,
+                             sim=args.optreg_sim, batch=args.optreg_batch)
     else:
-        ap.error("one of --disp_dir / --from_experiment is required")
+        ap.error("one of --disp_dir / --from_experiment / --from_optreg "
+                 "is required")
 
     latent = min(args.latent, X.shape[0])
     vectors, mean = pca_lib.fit_pca(X, latent)

@@ -21,8 +21,6 @@ import os
 import sys
 import time
 
-import numpy as np
-
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
@@ -62,18 +60,20 @@ def main(argv=None):
     taps_dtype = jnp.bfloat16 if args.taps == "bf16" else None
     pca_dtype = jnp.bfloat16 if args.pca == "bf16" else jnp.float32
     img_sz = (sz, sz, sz)
-    rng = np.random.default_rng(0)
     K = 3 * sz ** 3
-    pca = {"vectors": jnp.asarray(
-               (rng.normal(size=(L, K)) * 0.01).astype(np.float32)
-           ).astype(pca_dtype),
-           "mean": jnp.asarray(
-               (rng.normal(size=(K,)) * 0.001).astype(np.float32))}
-    coefs = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
-    moving = jnp.asarray(rng.uniform(-1, 1, (B, 1, sz, sz, sz))
-                         .astype(np.float32))
-    target = jnp.asarray(rng.uniform(-1, 1, (B, 1, sz, sz, sz))
-                         .astype(np.float32))
+    # Generate everything ON DEVICE: the (L, K) basis is ~2.7 GB at 160^3
+    # f32 and would take tens of minutes through the tunnel from host numpy
+    # (this is exactly what timed the first run of this tool out).
+    keys = jax.random.split(jax.random.PRNGKey(0), 5)
+    pca = {"vectors": (jax.random.normal(keys[0], (L, K), jnp.float32)
+                       * 0.01).astype(pca_dtype),
+           "mean": jax.random.normal(keys[1], (K,), jnp.float32) * 0.001}
+    coefs = jax.random.normal(keys[2], (B, L), jnp.float32)
+    moving = jax.random.uniform(keys[3], (B, 1, sz, sz, sz), jnp.float32,
+                                -1, 1)
+    target = jax.random.uniform(keys[4], (B, 1, sz, sz, sz), jnp.float32,
+                                -1, 1)
+    jax.block_until_ready((pca, coefs, moving, target))
     idm = identity_map(img_sz)
 
     rows = []
