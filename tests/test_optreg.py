@@ -131,3 +131,27 @@ def test_optreg_fields_span_gt_subspace(problem):
         coef, *_ = np.linalg.lstsq(Vm.T, xm, rcond=None)
         rel = np.linalg.norm(xm - Vm.T @ coef) / np.linalg.norm(xm)
         assert rel < 0.7, (i, rel)                # measured 0.30 / 0.44
+
+
+def test_basis_oracle_span_residual(tmp_path):
+    """tools/basis_oracle.py: 0.0 for a basis containing the field, ~1.0
+    for an orthogonal basis, and the gt_disp phi->disp roundtrip."""
+    from liftreg_tpu.coords import identity_map_np
+    from tools.basis_oracle import gt_disp, span_residual
+    rng = np.random.default_rng(0)
+    sz = 8
+    x = rng.normal(size=(3 * sz ** 3,))
+    mean = np.zeros_like(x)
+    V_in = np.stack([x, rng.normal(size=x.shape)])
+    assert span_residual(x.copy(), V_in, mean) < 1e-8
+    q, _ = np.linalg.qr(np.concatenate([x[:, None],
+                                        rng.normal(size=(len(x), 2))], 1))
+    V_perp = q[:, 1:].T                      # orthogonal complement of x
+    assert span_residual(x.copy(), V_perp, mean) > 0.99
+    # phi [0,1] storage convention roundtrip
+    disp = rng.normal(size=(3, sz, sz, sz)).astype(np.float32) * 0.05
+    phi01 = (disp + identity_map_np((sz,) * 3) + 1.0) / 2.0
+    gtdir = tmp_path / "gt_phi"; gtdir.mkdir()
+    np.save(gtdir / "c0_phi.npy", phi01)
+    np.testing.assert_allclose(gt_disp(str(tmp_path), "c0"), disp,
+                               atol=1e-6)
