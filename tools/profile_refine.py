@@ -76,15 +76,22 @@ def main(argv=None):
     jax.block_until_ready((pca, coefs, moving, target))
     idm = identity_map(img_sz)
 
+    print(f"B={B} {sz}^3 latent={L} taps={args.taps} pca={args.pca} "
+          f"on {jax.devices()[0]}", flush=True)
     rows = []
+
+    def add(name, ms):
+        # print each row as it lands so a timeout still leaves data
+        rows.append((name, ms))
+        print(f"{name:<26} {ms:9.1f} ms", flush=True)
 
     # 1. expand_pca
     f_pca = jax.jit(lambda z: expand_pca(z, pca["vectors"], pca["mean"],
                                          img_sz))
-    rows.append(("expand_pca fwd", timed(f_pca, coefs, reps=args.reps)))
+    add("expand_pca fwd", timed(f_pca, coefs, reps=args.reps))
     g_pca = jax.jit(jax.grad(lambda z: jnp.sum(
         expand_pca(z, pca["vectors"], pca["mean"], img_sz) ** 2)))
-    rows.append(("expand_pca fwd+vjp", timed(g_pca, coefs, reps=args.reps)))
+    add("expand_pca fwd+vjp", timed(g_pca, coefs, reps=args.reps))
 
     # 2. warp
     disp = f_pca(coefs)
@@ -92,26 +99,26 @@ def main(argv=None):
     f_warp = jax.jit(lambda p: resample.warp_image(
         moving, p, zero_boundary=True, scale_intensity=True,
         taps_dtype=taps_dtype))
-    rows.append(("warp fwd", timed(f_warp, phi, reps=args.reps)))
+    add("warp fwd", timed(f_warp, phi, reps=args.reps))
     g_warp = jax.jit(jax.grad(lambda p: jnp.sum(resample.warp_image(
         moving, p, zero_boundary=True, scale_intensity=True,
         taps_dtype=taps_dtype))))
-    rows.append(("warp fwd+grad(phi)", timed(g_warp, phi, reps=args.reps)))
+    add("warp fwd+grad(phi)", timed(g_warp, phi, reps=args.reps))
 
     # 3. NCC fwd+bwd on the warped volume
     warped = f_warp(phi)
     g_ncc = jax.jit(jax.grad(lambda w: jnp.mean(
         ncc_loss(w, target, reduction="none"))))
-    rows.append(("ncc fwd+grad", timed(g_ncc, warped, reps=args.reps)))
+    add("ncc fwd+grad", timed(g_ncc, warped, reps=args.reps))
 
     # 4. displacement reg fwd+bwd
     g_reg = jax.jit(jax.grad(lambda d: jnp.mean(
         displacement_reg(d, reduction="none"))))
-    rows.append(("disp_reg fwd+grad", timed(g_reg, disp, reps=args.reps)))
+    add("disp_reg fwd+grad", timed(g_reg, disp, reps=args.reps))
 
     # 5. phi assembly
     f_phi = jax.jit(lambda d: d + idm[None])
-    rows.append(("phi = disp + idm", timed(f_phi, disp, reps=args.reps)))
+    add("phi = disp + idm", timed(f_phi, disp, reps=args.reps))
 
     # 6. full fused step: n_steps=1 minus n_steps=0 would need two
     # programs; instead time n_steps=1 and n_steps=3 and difference them
@@ -122,15 +129,10 @@ def main(argv=None):
                            reg_factor=1e-3, warp_taps_dtype=taps_dtype)
         t_by_steps[n] = timed(ref, coefs, pca, moving, target,
                               reps=max(3, args.reps // 2))
+        add(f"refine total n={n}", t_by_steps[n])
     per_step = (t_by_steps[3] - t_by_steps[1]) / 2.0
-    rows.append(("refine total n=1", t_by_steps[1]))
-    rows.append(("refine total n=3", t_by_steps[3]))
-    rows.append(("refine per-step (diff)", per_step))
+    add("refine per-step (diff)", per_step)
 
-    print(f"\nB={B} {sz}^3 latent={L} taps={args.taps} pca={args.pca} "
-          f"on {jax.devices()[0]}")
-    for name, ms in rows:
-        print(f"{name:<26} {ms:9.1f} ms")
     parts = sum(ms for name, ms in rows
                 if name in ("expand_pca fwd+vjp", "warp fwd+grad(phi)",
                             "ncc fwd+grad", "disp_reg fwd+grad",
