@@ -105,7 +105,8 @@ def _build_refine(losses_fn, tx, n_steps):
 
 
 def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
-                 reg_factor=1e-3, warp_taps_dtype=None, mesh=None):
+                 reg_factor=1e-3, warp_taps_dtype=None, mesh=None,
+                 fast_vjp=False):
     """Build a jitted refinement function for one volume geometry.
 
     Args:
@@ -124,6 +125,9 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
       mesh: forwarded to the warp for mesh-sharded batches — without it a
         sharded batch hits the per-element GSPMD broadcast pathology on
         every scan step (``resample.warp_image`` mesh docstring).
+      fast_vjp: use the warp's no-re-gather custom VJP (the refine step
+        differentiates the warp wrt phi every iteration; see
+        ``resample._quad_sample_bwd``).
 
     Returns:
       ``refine(coefs0, pca, moving, target) -> dict`` with keys
@@ -146,7 +150,8 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
         phi = disp + identity_map(img_sz)[None]
         warped = resample.warp_image(moving, phi, zero_boundary=True,
                                      scale_intensity=True,
-                                     taps_dtype=warp_taps_dtype, mesh=mesh)
+                                     taps_dtype=warp_taps_dtype, mesh=mesh,
+                                     fast_vjp=fast_vjp)
         return disp, phi, warped
 
     def _losses(coefs, pca, moving, target):
@@ -168,7 +173,8 @@ def make_projection_refiner(img_sz, poses, resolution,
                             spacing=(2.2, 2.2, 2.2), sim="ncc",
                             sim_opts=None, n_steps=30, lr=0.05,
                             reg_factor=1e-3, proj_norm="drr",
-                            warp_taps_dtype=None, mesh=None):
+                            warp_taps_dtype=None, mesh=None,
+                            fast_vjp=False):
     """Projection-domain refinement: no target CT needed at serving time.
 
     The deployment scenario for 2D/3D registration is CBCT-free treatment
@@ -231,7 +237,8 @@ def make_projection_refiner(img_sz, poses, resolution,
         # a sharded batch must keep the shard_map through every scan step.
         warped = resample.warp_image(moving_atten, phi, zero_boundary=True,
                                      scale_intensity=False,
-                                     taps_dtype=warp_taps_dtype, mesh=mesh)
+                                     taps_dtype=warp_taps_dtype, mesh=mesh,
+                                     fast_vjp=fast_vjp)
         proj = drr.project(warped[:, 0], poses, resolution, spacing)
         return disp, phi, warped, _normalize(proj)
 

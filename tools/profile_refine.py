@@ -44,7 +44,10 @@ def main(argv=None):
     ap.add_argument("--taps", choices=("bf16", "f32"), default="bf16")
     ap.add_argument("--pca", choices=("bf16", "f32"), default="bf16")
     ap.add_argument("--reps", type=int, default=10)
+    ap.add_argument("--fast_vjp", action="store_true",
+                    help="measure the no-re-gather custom-VJP warp paths")
     args = ap.parse_args(argv)
+    fv = args.fast_vjp
 
     import jax
     import jax.numpy as jnp
@@ -77,7 +80,7 @@ def main(argv=None):
     idm = identity_map(img_sz)
 
     print(f"B={B} {sz}^3 latent={L} taps={args.taps} pca={args.pca} "
-          f"on {jax.devices()[0]}", flush=True)
+          f"fast_vjp={fv} on {jax.devices()[0]}", flush=True)
     rows = []
 
     def add(name, ms):
@@ -98,11 +101,11 @@ def main(argv=None):
     phi = disp + idm[None]
     f_warp = jax.jit(lambda p: resample.warp_image(
         moving, p, zero_boundary=True, scale_intensity=True,
-        taps_dtype=taps_dtype))
+        taps_dtype=taps_dtype, fast_vjp=fv))
     add("warp fwd", timed(f_warp, phi, reps=args.reps))
     g_warp = jax.jit(jax.grad(lambda p: jnp.sum(resample.warp_image(
         moving, p, zero_boundary=True, scale_intensity=True,
-        taps_dtype=taps_dtype))))
+        taps_dtype=taps_dtype, fast_vjp=fv))))
     add("warp fwd+grad(phi)", timed(g_warp, phi, reps=args.reps))
 
     # 3. NCC fwd+bwd on the warped volume
@@ -126,7 +129,8 @@ def main(argv=None):
     t_by_steps = {}
     for n in (1, 3):
         ref = make_refiner(img_sz, sim="ncc", n_steps=n, lr=0.05,
-                           reg_factor=1e-3, warp_taps_dtype=taps_dtype)
+                           reg_factor=1e-3, warp_taps_dtype=taps_dtype,
+                           fast_vjp=fv)
         t_by_steps[n] = timed(ref, coefs, pca, moving, target,
                               reps=max(3, args.reps // 2))
         add(f"refine total n={n}", t_by_steps[n])
