@@ -1,0 +1,205 @@
+"""Pallas locality-exploiting trilinear warp (serving fast path, opt-in).
+
+The warp is 70% of the serving budget (DESIGN.md §4a) and XLA lowers its
+arbitrary 3D gather at ~6.5 ns/index — HBM-latency-bound random access,
+~2.5 GB/s effective against an ~819 GB/s streaming roofline. Deformation
+fields are *smooth and small* (respiratory motion is a few voxels at
+2.2 mm spacing), which XLA's general gather cannot exploit. This kernel
+can: the whole source volume is staged in VMEM once and each output
+(z, x)-plane is assembled from
+
+  * a per-lane **sublane gather** along z (Mosaic ``tpu.dynamic_gather``;
+    the z displacement is therefore UNBOUNDED — z is the large-motion
+    SI axis for lung CT),
+  * a small **fori enumeration of source y-planes** ``v = y0 + dy − y``
+    (bounded by ``dy_max``), each a contiguous VMEM slice,
+  * a small **static enumeration of x lane-shifts** ``t = x0 + dx − x``
+    (bounded by ``dx_max``) via ``pltpu.roll``.
+
+Mosaic's gather only supports same-shape 2D operands (per-lane row
+selection; jax/_src/pallas/mosaic/lowering.py ``_gather_lowering_rule``),
+which is why exactly one axis (z) gets the free arbitrary gather and the
+other two are enumerated. Per-(v) and per-(t) runtime skips
+(``lax.cond`` on "any voxel needs this shift") make the cost adaptive:
+a smooth field with local y/x displacement range ±r pays ~O(r²) gathers
+per plane, not O(dy_max·dx_max).
+
+Semantics: matches ``resample._oct_plain`` (bf16 taps, f32 weights,
+align_corners pixel coords, zeros/border padding via clamped starts +
+vanishing weights) EXACTLY whenever every voxel's y/x displacement obeys
+``|y0+dy − y| ≤ dy_max`` and ``|x0 − x| ≤ dx_max``; voxels beyond the
+window sample at the window-clamped offset instead (graceful clamp, like
+border padding in the offending axis). Use :func:`displacement_window`
+to measure a field's true window before enabling. Forward-only: the
+serving pipeline never differentiates the warp; gradient users keep the
+``fast_vjp`` quad/oct paths (``resample.grid_sample``).
+
+Reference context: the warp this accelerates is the reference's
+``Bilinear`` transform (``src/liftreg/utils/net_utils.py:9-56``).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _warp_plane_kernel(pz_ref, py_ref, px_ref, vol_ref, out_ref, *,
+                       D, W, H, dy_max, dx_max, padding):
+    """One output (z, x)-plane at y = program_id(0).
+
+    Refs: pz/py/px (1, D, Hp) f32 pixel coords; vol (W*D, Hp) taps;
+    out (1, D, Hp) f32. Hp is the lane-padded H (zero-filled — pad lanes
+    get zero weight automatically because their ``s = x0 − x`` falls
+    outside the enumerated window).
+    """
+    y = pl.program_id(0)
+    Hp = vol_ref.shape[1]
+    f32 = jnp.float32
+
+    pz = pz_ref[0]
+    py = py_ref[0]
+    px = px_ref[0]
+    if padding == "border":
+        pz = jnp.clip(pz, 0.0, D - 1.0)
+        py = jnp.clip(py, 0.0, W - 1.0)
+        px = jnp.clip(px, 0.0, H - 1.0)
+
+    # oct-path geometry: starts clamped to n-2, relu corner weights
+    z0 = jnp.clip(jnp.floor(pz).astype(jnp.int32), 0, D - 2)
+    tz = pz - z0.astype(f32)
+    wz0 = jnp.maximum(0.0, 1.0 - jnp.abs(tz))
+    wz1 = jnp.maximum(0.0, 1.0 - jnp.abs(tz - 1.0))
+    y0 = jnp.clip(jnp.floor(py).astype(jnp.int32), 0, W - 2)
+    ty = py - y0.astype(f32)
+    wy0 = jnp.maximum(0.0, 1.0 - jnp.abs(ty))
+    wy1 = jnp.maximum(0.0, 1.0 - jnp.abs(ty - 1.0))
+    x0 = jnp.clip(jnp.floor(px).astype(jnp.int32), 0, H - 2)
+    tx = px - x0.astype(f32)
+    wx0 = jnp.maximum(0.0, 1.0 - jnp.abs(tx))
+    wx1 = jnp.maximum(0.0, 1.0 - jnp.abs(tx - 1.0))
+
+    x_iota = jax.lax.broadcasted_iota(jnp.int32, (D, Hp), 1)
+    # window-clamped shifts (out-of-window voxels degrade to clamped
+    # sampling; exact when the field obeys the window)
+    s = jnp.clip(x0 - x_iota, -dx_max, dx_max)          # x0 = x + s
+    u = jnp.clip(y0 - y, -dy_max, dy_max)               # y0 = y + u
+
+    nv = 2 * dy_max + 2
+    acc = jnp.zeros((D, Hp), f32)
+
+    def v_body(i, acc):
+        v = i - dy_max                                   # [-dy_max, dy_max+1]
+        # weight of source plane y+v: dy=0 corner when u==v, dy=1 when
+        # u==v-1 (u is y0-y, the plane index offset of dy=0)
+        wyv = (jnp.where(u == v, wy0, 0.0)
+               + jnp.where(u == v - 1, wy1, 0.0))
+
+        def active(acc):
+            yv = jnp.clip(y + v, 0, W - 1)
+            sv = vol_ref[pl.ds(yv * D, D), :]            # (D, Hp) taps
+            a = acc
+            for t in range(-dx_max, dx_max + 2):
+                # x weight for source lane x+t: dx=0 when s==t, dx=1
+                # when s==t-1
+                wxt = (jnp.where(s == t, wx0, 0.0)
+                       + jnp.where(s == t - 1, wx1, 0.0))
+                w_in = wyv * wxt
+
+                def shift_active(a):
+                    # gather wants the index of the SOURCE lane: roll the
+                    # z-start plane by t, gather, roll the taps back
+                    # (pltpu.roll is circular with jnp.roll semantics and
+                    # requires non-negative static shifts, hence % Hp)
+                    jz = pltpu.roll(z0, t % Hp, axis=1) if t else z0
+                    g0 = jnp.take_along_axis(sv, jz, axis=0).astype(f32)
+                    g1 = jnp.take_along_axis(
+                        sv, jnp.minimum(jz + 1, D - 1), axis=0).astype(f32)
+                    if t:
+                        g0 = pltpu.roll(g0, (-t) % Hp, axis=1)
+                        g1 = pltpu.roll(g1, (-t) % Hp, axis=1)
+                    return a + w_in * (wz0 * g0 + wz1 * g1)
+
+                a = jax.lax.cond(jnp.any(w_in > 0.0), shift_active,
+                                 lambda a: a, a)
+            return a
+
+        return jax.lax.cond(jnp.any(wyv > 0.0), active, lambda a: a, acc)
+
+    acc = jax.lax.fori_loop(0, nv, v_body, acc)
+    out_ref[0] = acc
+
+
+def warp_plane_gather(vol, coords, padding="zeros", dy_max=6, dx_max=6,
+                      taps_dtype=jnp.bfloat16, interpret=False):
+    """Locality-exploiting trilinear sample of ``vol`` at pixel ``coords``.
+
+    Args:
+      vol: ``(B, C, D, W, H)``.
+      coords: ``(B, D, W, H, 3)`` pixel-space sample positions in (z, y, x)
+        order — i.e. the warp use case where the output grid matches the
+        volume grid (``resample.warp_image``).
+      padding: ``"zeros"`` or ``"border"`` (same semantics as
+        ``resample.grid_sample``).
+      dy_max / dx_max: y/x displacement window in voxels. Exact within the
+        window; clamped-sample beyond it (see module docstring).
+      taps_dtype: tap storage dtype inside VMEM; ``jnp.bfloat16`` matches
+        the oct serving path, ``jnp.float32`` is exact (2x VMEM).
+      interpret: run the Pallas interpreter (CPU correctness mode).
+
+    Returns:
+      ``(B, C, D, W, H)`` f32.
+    """
+    B, C, D, W, H = vol.shape
+    assert coords.shape == (B, D, W, H, 3), coords.shape
+    Hp = max(128, -(-H // 128) * 128)
+
+    # y-major layouts so each grid step slices contiguous planes
+    volp = jnp.transpose(vol, (0, 1, 3, 2, 4)).astype(taps_dtype)
+    volp = jnp.pad(volp, ((0, 0),) * 4 + ((0, Hp - H),))
+    volp = volp.reshape(B, C, W * D, Hp)
+    cp = jnp.transpose(coords.astype(jnp.float32), (0, 2, 4, 1, 3))
+    cp = jnp.pad(cp, ((0, 0), (0, 0), (0, 0), (0, 0), (0, Hp - H)))
+    # (B, W, 3, D, Hp) -> per-component (B, W, D, Hp)
+    pz, py, px = cp[:, :, 0], cp[:, :, 1], cp[:, :, 2]
+
+    kern = functools.partial(_warp_plane_kernel, D=D, W=W, H=H,
+                             dy_max=dy_max, dx_max=dx_max, padding=padding)
+    call = pl.pallas_call(
+        kern,
+        grid=(W,),
+        in_specs=[
+            pl.BlockSpec((1, D, Hp), lambda y: (y, 0, 0)),   # pz
+            pl.BlockSpec((1, D, Hp), lambda y: (y, 0, 0)),   # py
+            pl.BlockSpec((1, D, Hp), lambda y: (y, 0, 0)),   # px
+            pl.BlockSpec((W * D, Hp), lambda y: (0, 0)),     # volume
+        ],
+        out_specs=pl.BlockSpec((1, D, Hp), lambda y: (y, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((W, D, Hp), jnp.float32),
+        interpret=interpret,
+    )
+    outs = []
+    for b in range(B):
+        for c in range(C):
+            o = call(pz[b], py[b], px[b], volp[b, c])
+            outs.append(jnp.transpose(o, (1, 0, 2))[:, :, :H])
+    return jnp.stack(outs).reshape(B, C, D, W, H)
+
+
+def displacement_window(coords):
+    """Measure a coords field's true (dy, dx) window.
+
+    Returns ``(max |y0 − y|, max |x0 − x|)`` over the clamped interpolation
+    starts — the smallest ``dy_max``/``dx_max`` for which
+    :func:`warp_plane_gather` is exact on this field. Cheap XLA
+    reduction; run once per model / dataset when enabling the kernel.
+    """
+    B, D, W, H = coords.shape[:-1]
+    yi = jnp.arange(W, dtype=coords.dtype)[None, None, :, None]
+    xi = jnp.arange(H, dtype=coords.dtype)[None, None, None, :]
+    y0 = jnp.clip(jnp.floor(coords[..., 1]), 0, W - 2)
+    x0 = jnp.clip(jnp.floor(coords[..., 2]), 0, H - 2)
+    return jnp.max(jnp.abs(y0 - yi)), jnp.max(jnp.abs(x0 - xi))
