@@ -28,6 +28,8 @@ class LiftRegSubspace(nn.Module):
     warp_taps_dtype: Any = None
     #: optional jax.sharding.Mesh — shard_map the warp over its data axis
     mesh: Any = None
+    #: no-re-gather custom-VJP warp (see LiftRegSubspaceBackproj.fast_vjp)
+    fast_vjp: bool = False
     #: False computes sim on the raw (unmasked) CT pair — same semantics
     #: as LiftRegSubspaceBackproj.mask_ct
     mask_ct: bool = True
@@ -68,7 +70,8 @@ class LiftRegSubspace(nn.Module):
         warped = resample.warp_image(moving_cp, phi, zero_boundary=True,
                                      scale_intensity=True,
                                      taps_dtype=self.warp_taps_dtype,
-                                     mesh=self.mesh)
+                                     mesh=self.mesh,
+                                     fast_vjp=self.fast_vjp)
         return {
             "warped": warped,
             "phi": phi,

@@ -129,6 +129,11 @@ class LiftRegSubspaceBackproj(nn.Module):
     #: optional jax.sharding.Mesh — shard_map the warp over its data axis
     #: so each chip warps only its own batch shard (resample.warp_image).
     mesh: Any = None
+    #: route the warp through the no-re-gather custom VJP (training
+    #: differentiates the warp wrt phi each step; the custom backward
+    #: reuses the forward's gathered rows — resample._quad_sample_bwd).
+    #: Opt-in: changes the traced program (compile-cache contract).
+    fast_vjp: bool = False
     #: False computes sim on the raw (unmasked) CT pair: windowed
     #: similarities (LNCC) get body-scale boundary signal in every window
     #: instead of the lung-masked pair's flat background (DESIGN.md "LNCC
@@ -183,7 +188,8 @@ class LiftRegSubspaceBackproj(nn.Module):
         warped = resample.warp_image(moving_cp, phi, zero_boundary=True,
                                      scale_intensity=True,
                                      taps_dtype=self.warp_taps_dtype,
-                                     mesh=self.mesh)
+                                     mesh=self.mesh,
+                                     fast_vjp=self.fast_vjp)
         return {
             "warped": warped,
             "phi": phi,

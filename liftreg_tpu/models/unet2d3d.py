@@ -44,6 +44,14 @@ class RegNet2D3D(nn.Module):
     #: same operator and parameter tree, MXU-friendly channel counts. The
     #: full-resolution stage-0 skip is recovered by unpacking.
     s2d_encoder: bool = False
+    #: route the warps through the no-re-gather custom VJP
+    #: (resample._quad_sample_bwd). This model differentiates warps wrt
+    #: TRACED images (the inverse-flow iteration warps ``disp``; the
+    #: chained ``warped_inv`` warps ``warped``), where AD's 4-wide row
+    #: scatters cost ~7x the custom VJP's scalar scatter-adds
+    #: (DESIGN.md section 3a: 83 vs 11.6 ns/idx). Opt-in: changes the
+    #: traced program (compile-cache contract).
+    fast_vjp: bool = False
 
     @nn.compact
     def __call__(self, inputs, pca=None):
@@ -143,7 +151,8 @@ class RegNet2D3D(nn.Module):
             nxt = -resample.warp_image(disp, idm + disp_inv,
                                        zero_boundary=True,
                                        scale_intensity=False,
-                                       mesh=self.mesh)
+                                       mesh=self.mesh,
+                                       fast_vjp=self.fast_vjp)
             return nxt, None
 
         if self.remat_inverse:
@@ -154,11 +163,13 @@ class RegNet2D3D(nn.Module):
 
         moving_origin = inputs["original_source"]   # attenuation volume
         warped = resample.warp_image(moving_origin, phi, zero_boundary=True,
-                                     scale_intensity=False, mesh=self.mesh)
+                                     scale_intensity=False, mesh=self.mesh,
+                                     fast_vjp=self.fast_vjp)
         warped_inv = resample.warp_image(warped, idm + disp_inv,
                                          zero_boundary=True,
                                          scale_intensity=False,
-                                         mesh=self.mesh)
+                                         mesh=self.mesh,
+                                         fast_vjp=self.fast_vjp)
 
         # Re-projection for projection-domain losses (``:157-185``).
         Rx, Rz, dx = drr.forward_matrices(poses, img_sz, proj_shape, spacing)

@@ -277,6 +277,11 @@ class RegistrationTrainer(TrainerBase):
             # MXU-friendly channel counts (all model families)
             model_kwargs["s2d_encoder"] = \
                 parse_bool(model_cfg["s2d_encoder"])
+        if "fast_vjp" in model_cfg:
+            # no-re-gather custom-VJP warps (resample._quad_sample_bwd);
+            # biggest for RegNet2D3D, whose inverse-flow iteration
+            # differentiates warps wrt traced images (all model families)
+            model_kwargs["fast_vjp"] = parse_bool(model_cfg["fast_vjp"])
         if self.mesh.devices.size > 1:
             # shard_map the warps so each chip warps only its own batch
             # shard (resample.warp_image mesh docstring)

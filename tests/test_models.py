@@ -154,3 +154,41 @@ def test_subspace_ablation_mask_ct_off():
     out = model.apply(params, inputs, pca)
     np.testing.assert_array_equal(np.asarray(out["target"]),
                                   np.asarray(inputs["target"]))
+
+
+def test_fast_vjp_model_grads_match():
+    """model.fast_vjp routes warps through the custom VJP; parameter
+    gradients must match plain AD (subspace and RegNet2D3D families)."""
+    rng = np.random.default_rng(9)
+    sz, latent = 16, 4
+    inputs = make_inputs(rng, B=1, sz=sz, proj=24, with_original=True)
+    pca = make_pca(rng, latent, sz)
+
+    def grads(model, *apply_args):
+        params = model.init(jax.random.PRNGKey(0), *apply_args)
+
+        def loss(p):
+            out = model.apply(p, *apply_args)
+            l = jnp.mean((out["warped"] - inputs["target"]) ** 2)
+            if "warped_inv" in out:
+                l = l + jnp.mean(out["warped_inv"] ** 2)
+            return l
+
+        return jax.grad(loss)(params)
+
+    for kw in ({"img_sz": (sz, sz, sz), "latent_dim": latent},):
+        g0 = grads(LiftRegSubspaceBackproj(**kw), inputs, pca)
+        g1 = grads(LiftRegSubspaceBackproj(fast_vjp=True, **kw), inputs, pca)
+        for a, b in zip(jax.tree_util.tree_leaves(g0),
+                        jax.tree_util.tree_leaves(g1)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-6)
+
+    # RegNet2D3D: warps wrt traced images (inverse-flow + chained warp)
+    kw = {"img_sz": (sz, sz, sz), "inverse_iters": 2}
+    g0 = grads(RegNet2D3D(**kw), inputs)
+    g1 = grads(RegNet2D3D(fast_vjp=True, **kw), inputs)
+    for a, b in zip(jax.tree_util.tree_leaves(g0),
+                    jax.tree_util.tree_leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)

@@ -60,6 +60,10 @@ _ap.add_argument("--stage1_cache", default="auto",
                  help="cache_on_device for stage 1: auto|true|false")
 _ap.add_argument("--stage1_batch", type=int, default=1)
 _ap.add_argument("--stage1_inverse_iters", type=int, default=7)
+# no-re-gather custom-VJP warps: RegNet differentiates warps wrt traced
+# images (inverse-flow + chained warp), where the scalar-scatter image
+# grad beats AD's row scatters ~7x (DESIGN.md section 3a)
+_ap.add_argument("--stage1_fast_vjp", action="store_true")
 _args = _ap.parse_args()
 DATA = _args.data
 OUT = _args.out
@@ -89,7 +93,8 @@ s1["dataset"]["apply_hu_clip"] = False
 s1["train"]["model_class"] = "regnet2d3d"
 s1["train"]["loss_class"] = "regnet2d3d"
 s1["train"]["model"] = {"drr_feature_num": 4, "s2d_encoder": _args.s2d,
-                        "inverse_iters": _args.stage1_inverse_iters}
+                        "inverse_iters": _args.stage1_inverse_iters,
+                        "fast_vjp": _args.stage1_fast_vjp}
 s1["train"]["optim"]["lr"] = 5e-4
 s1["train"]["cache_on_device"] = ("auto" if _args.stage1_cache == "auto"
                                   else _args.stage1_cache.lower() == "true")
