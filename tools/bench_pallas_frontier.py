@@ -54,13 +54,15 @@ def bench_pca(B=4, sz=160, latents=(56, 128, 256), reps=10):
         z = jax.random.normal(k3, (B, L), jnp.float32)
         jax.block_until_ready((V, mean, z))
         gb = V.nbytes / 2 ** 30
-        xla = jax.jit(lambda z, V=V, mean=mean: jnp.dot(
+        # explicit operands: a closure/default-arg-captured multi-GB
+        # basis becomes a compile-payload constant and breaks the tunnel
+        # relay (remote_compile: Broken pipe — first two runs of this tool)
+        xla = jax.jit(lambda z, V, mean: jnp.dot(
             z.astype(jnp.bfloat16), V,
             preferred_element_type=jnp.float32) + mean)
-        pal = jax.jit(lambda z, V=V, mean=mean:
-                      expand_pca_streamed(z, V, mean))
-        t_x = timed(xla, z, reps=reps)
-        t_p = timed(pal, z, reps=reps)
+        pal = jax.jit(lambda z, V, mean: expand_pca_streamed(z, V, mean))
+        t_x = timed(xla, z, V, mean, reps=reps)
+        t_p = timed(pal, z, V, mean, reps=reps)
         floor = gb / 0.80  # ~819 GB/s HBM -> ms per GB ~ 1.25; 0.80 GB/ms
         rows.append((f"pca L={L} ({gb:.2f} GB basis)", t_x, t_p, floor))
         del V

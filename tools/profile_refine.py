@@ -89,30 +89,35 @@ def main(argv=None):
         print(f"{name:<26} {ms:9.1f} ms", flush=True)
 
     # 1. expand_pca
-    f_pca = jax.jit(lambda z: expand_pca(z, pca["vectors"], pca["mean"],
-                                         img_sz))
-    add("expand_pca fwd", timed(f_pca, coefs, reps=args.reps))
-    g_pca = jax.jit(jax.grad(lambda z: jnp.sum(
-        expand_pca(z, pca["vectors"], pca["mean"], img_sz) ** 2)))
-    add("expand_pca fwd+vjp", timed(g_pca, coefs, reps=args.reps))
+    # NOTE: every jitted fn takes its large operands EXPLICITLY — a
+    # closure-captured multi-GB array becomes a compile-payload constant,
+    # which broke the tunnel relay on this tool's first three runs
+    # (remote_compile: Broken pipe at exactly this first compile).
+    f_pca = jax.jit(lambda z, v, m: expand_pca(z, v, m, img_sz))
+    add("expand_pca fwd", timed(f_pca, coefs, pca["vectors"], pca["mean"],
+                                reps=args.reps))
+    g_pca = jax.jit(jax.grad(lambda z, v, m: jnp.sum(
+        expand_pca(z, v, m, img_sz) ** 2)))
+    add("expand_pca fwd+vjp", timed(g_pca, coefs, pca["vectors"],
+                                    pca["mean"], reps=args.reps))
 
     # 2. warp
-    disp = f_pca(coefs)
+    disp = f_pca(coefs, pca["vectors"], pca["mean"])
     phi = disp + idm[None]
-    f_warp = jax.jit(lambda p: resample.warp_image(
-        moving, p, zero_boundary=True, scale_intensity=True,
+    f_warp = jax.jit(lambda v, p: resample.warp_image(
+        v, p, zero_boundary=True, scale_intensity=True,
         taps_dtype=taps_dtype, fast_vjp=fv))
-    add("warp fwd", timed(f_warp, phi, reps=args.reps))
-    g_warp = jax.jit(jax.grad(lambda p: jnp.sum(resample.warp_image(
-        moving, p, zero_boundary=True, scale_intensity=True,
+    add("warp fwd", timed(f_warp, moving, phi, reps=args.reps))
+    g_warp = jax.jit(jax.grad(lambda p, v: jnp.sum(resample.warp_image(
+        v, p, zero_boundary=True, scale_intensity=True,
         taps_dtype=taps_dtype, fast_vjp=fv))))
-    add("warp fwd+grad(phi)", timed(g_warp, phi, reps=args.reps))
+    add("warp fwd+grad(phi)", timed(g_warp, phi, moving, reps=args.reps))
 
     # 3. NCC fwd+bwd on the warped volume
-    warped = f_warp(phi)
-    g_ncc = jax.jit(jax.grad(lambda w: jnp.mean(
-        ncc_loss(w, target, reduction="none"))))
-    add("ncc fwd+grad", timed(g_ncc, warped, reps=args.reps))
+    warped = f_warp(moving, phi)
+    g_ncc = jax.jit(jax.grad(lambda w, t: jnp.mean(
+        ncc_loss(w, t, reduction="none"))))
+    add("ncc fwd+grad", timed(g_ncc, warped, target, reps=args.reps))
 
     # 4. displacement reg fwd+bwd
     g_reg = jax.jit(jax.grad(lambda d: jnp.mean(
@@ -120,8 +125,8 @@ def main(argv=None):
     add("disp_reg fwd+grad", timed(g_reg, disp, reps=args.reps))
 
     # 5. phi assembly
-    f_phi = jax.jit(lambda d: d + idm[None])
-    add("phi = disp + idm", timed(f_phi, disp, reps=args.reps))
+    f_phi = jax.jit(lambda d, i: d + i[None])
+    add("phi = disp + idm", timed(f_phi, disp, idm, reps=args.reps))
 
     # 6. full fused step: n_steps=1 minus n_steps=0 would need two
     # programs; instead time n_steps=1 and n_steps=3 and difference them
