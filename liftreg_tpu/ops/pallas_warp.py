@@ -91,45 +91,56 @@ def _warp_plane_kernel(pz_ref, py_ref, px_ref, vol_ref, out_ref, *,
     nv = 2 * dy_max + 2
     acc = jnp.zeros((D, Hp), f32)
 
-    def v_body(i, acc):
-        v = i - dy_max                                   # [-dy_max, dy_max+1]
-        # weight of source plane y+v: dy=0 corner when u==v, dy=1 when
-        # u==v-1 (u is y0-y, the plane index offset of dy=0)
-        wyv = (jnp.where(u == v, wy0, 0.0)
-               + jnp.where(u == v - 1, wy1, 0.0))
+    # t outer (static, unrolled), v inner (fori): everything that depends
+    # only on t — the x weight, the rolled z indices and the rolled y/z
+    # weight planes — is computed ONCE per shift, and the v loop
+    # accumulates in ROLLED space so the inner body is 2 gathers + fma
+    # with zero rolls (one un-roll per active t at the end). pltpu.roll is
+    # circular with jnp.roll semantics and wants non-negative static
+    # shifts, hence % Hp; the circular wrap is safe because wxt vanishes
+    # wherever x+t would leave [0, H) (clamped starts).
+    for t in range(-dx_max, dx_max + 2):
+        # x weight for source lane x+t: dx=0 corner when s==t, dx=1
+        # when s==t-1
+        wxt = (jnp.where(s == t, wx0, 0.0)
+               + jnp.where(s == t - 1, wx1, 0.0))
 
-        def active(acc):
-            yv = jnp.clip(y + v, 0, W - 1)
-            sv = vol_ref[pl.ds(yv * D, D), :]            # (D, Hp) taps
-            a = acc
-            for t in range(-dx_max, dx_max + 2):
-                # x weight for source lane x+t: dx=0 when s==t, dx=1
-                # when s==t-1
-                wxt = (jnp.where(s == t, wx0, 0.0)
-                       + jnp.where(s == t - 1, wx1, 0.0))
-                w_in = wyv * wxt
+        def shift_active(acc, t=t, wxt=wxt):
+            if t:
+                r = functools.partial(pltpu.roll, shift=t % Hp, axis=1)
+                jz0 = r(z0)
+                wz0_r, wz1_r = r(wz0), r(wz1)
+                u_r = r(u)
+                wy0_r, wy1_r = r(wy0), r(wy1)
+            else:
+                jz0, wz0_r, wz1_r = z0, wz0, wz1
+                u_r, wy0_r, wy1_r = u, wy0, wy1
+            jz1 = jnp.minimum(jz0 + 1, D - 1)
 
-                def shift_active(a):
-                    # gather wants the index of the SOURCE lane: roll the
-                    # z-start plane by t, gather, roll the taps back
-                    # (pltpu.roll is circular with jnp.roll semantics and
-                    # requires non-negative static shifts, hence % Hp)
-                    jz = pltpu.roll(z0, t % Hp, axis=1) if t else z0
-                    g0 = jnp.take_along_axis(sv, jz, axis=0).astype(f32)
-                    g1 = jnp.take_along_axis(
-                        sv, jnp.minimum(jz + 1, D - 1), axis=0).astype(f32)
-                    if t:
-                        g0 = pltpu.roll(g0, (-t) % Hp, axis=1)
-                        g1 = pltpu.roll(g1, (-t) % Hp, axis=1)
-                    return a + w_in * (wz0 * g0 + wz1 * g1)
+            def v_body(i, a_t):
+                v = i - dy_max                   # [-dy_max, dy_max+1]
+                # weight of source plane y+v (in rolled space): dy=0
+                # corner when u==v, dy=1 when u==v-1
+                wyv_r = (jnp.where(u_r == v, wy0_r, 0.0)
+                         + jnp.where(u_r == v - 1, wy1_r, 0.0))
 
-                a = jax.lax.cond(jnp.any(w_in > 0.0), shift_active,
-                                 lambda a: a, a)
-            return a
+                def gather(a_t):
+                    yv = jnp.clip(y + v, 0, W - 1)
+                    sv = vol_ref[pl.ds(yv * D, D), :]    # (D, Hp) taps
+                    g0 = jnp.take_along_axis(sv, jz0, axis=0).astype(f32)
+                    g1 = jnp.take_along_axis(sv, jz1, axis=0).astype(f32)
+                    return a_t + wyv_r * (wz0_r * g0 + wz1_r * g1)
 
-        return jax.lax.cond(jnp.any(wyv > 0.0), active, lambda a: a, acc)
+                return jax.lax.cond(jnp.any(wyv_r > 0.0), gather,
+                                    lambda a: a, a_t)
 
-    acc = jax.lax.fori_loop(0, nv, v_body, acc)
+            a_t = jax.lax.fori_loop(0, nv, v_body, jnp.zeros((D, Hp), f32))
+            if t:
+                a_t = pltpu.roll(a_t, (-t) % Hp, axis=1)
+            return acc + wxt * a_t
+
+        acc = jax.lax.cond(jnp.any(wxt > 0.0), shift_active,
+                           lambda a: a, acc)
     out_ref[0] = acc
 
 
