@@ -30,6 +30,8 @@ class LiftRegSubspace(nn.Module):
     mesh: Any = None
     #: no-re-gather custom-VJP warp (see LiftRegSubspaceBackproj.fast_vjp)
     fast_vjp: bool = False
+    #: Pallas locality warp window (see LiftRegSubspaceBackproj); serving only
+    warp_plane_window: Any = None
     #: False computes sim on the raw (unmasked) CT pair — same semantics
     #: as LiftRegSubspaceBackproj.mask_ct
     mask_ct: bool = True
@@ -71,7 +73,8 @@ class LiftRegSubspace(nn.Module):
                                      scale_intensity=True,
                                      taps_dtype=self.warp_taps_dtype,
                                      mesh=self.mesh,
-                                     fast_vjp=self.fast_vjp)
+                                     fast_vjp=self.fast_vjp,
+                                     plane_window=self.warp_plane_window)
         return {
             "warped": warped,
             "phi": phi,

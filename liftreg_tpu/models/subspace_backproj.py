@@ -134,6 +134,11 @@ class LiftRegSubspaceBackproj(nn.Module):
     #: reuses the forward's gathered rows — resample._quad_sample_bwd).
     #: Opt-in: changes the traced program (compile-cache contract).
     fast_vjp: bool = False
+    #: optional (dy_max, dx_max): route the warp through the Pallas
+    #: locality kernel (ops/pallas_warp.py — volume VMEM-resident,
+    #: unbounded z, windowed y/x). FORWARD-ONLY: serving use, never
+    #: training (the kernel has no VJP).
+    warp_plane_window: Any = None
     #: False computes sim on the raw (unmasked) CT pair: windowed
     #: similarities (LNCC) get body-scale boundary signal in every window
     #: instead of the lung-masked pair's flat background (DESIGN.md "LNCC
@@ -189,7 +194,8 @@ class LiftRegSubspaceBackproj(nn.Module):
                                      scale_intensity=True,
                                      taps_dtype=self.warp_taps_dtype,
                                      mesh=self.mesh,
-                                     fast_vjp=self.fast_vjp)
+                                     fast_vjp=self.fast_vjp,
+                                     plane_window=self.warp_plane_window)
         return {
             "warped": warped,
             "phi": phi,

@@ -145,7 +145,7 @@ def _warp_plane_kernel(pz_ref, py_ref, px_ref, vol_ref, out_ref, *,
 
 
 def warp_plane_gather(vol, coords, padding="zeros", dy_max=6, dx_max=6,
-                      taps_dtype=jnp.bfloat16, interpret=False):
+                      taps_dtype=jnp.bfloat16, interpret="auto"):
     """Locality-exploiting trilinear sample of ``vol`` at pixel ``coords``.
 
     Args:
@@ -159,11 +159,15 @@ def warp_plane_gather(vol, coords, padding="zeros", dy_max=6, dx_max=6,
         window; clamped-sample beyond it (see module docstring).
       taps_dtype: tap storage dtype inside VMEM; ``jnp.bfloat16`` matches
         the oct serving path, ``jnp.float32`` is exact (2x VMEM).
-      interpret: run the Pallas interpreter (CPU correctness mode).
+      interpret: run the Pallas interpreter; ``"auto"`` (default)
+        interprets on CPU backends so tests and CPU meshes exercise the
+        same call sites the TPU compiles.
 
     Returns:
       ``(B, C, D, W, H)`` f32.
     """
+    if interpret == "auto":
+        interpret = jax.default_backend() == "cpu"
     B, C, D, W, H = vol.shape
     assert coords.shape == (B, D, W, H, 3), coords.shape
     Hp = max(128, -(-H // 128) * 128)

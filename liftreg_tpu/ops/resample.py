@@ -473,7 +473,7 @@ _oct_sample.defvjp(_oct_sample_fwd, _oct_sample_bwd)
 
 
 def grid_sample(vol, coords, mode="bilinear", padding="zeros",
-                taps_dtype=None, fast_vjp=False):
+                taps_dtype=None, fast_vjp=False, plane_window=None):
     """Sample ``vol`` at pixel-space ``coords`` (align_corners=True semantics).
 
     Args:
@@ -494,6 +494,13 @@ def grid_sample(vol, coords, mode="bilinear", padding="zeros",
         custom-VJP call changes the traced program even for primal-only
         use (compile-cache contract, tools/check_cache_trace.py); callers
         that differentiate through the warp should opt in.
+      plane_window: optional ``(dy_max, dx_max)`` — route the 3D bilinear
+        self-warp case (out grid == volume grid) through the Pallas
+        locality kernel (``ops/pallas_warp.py``): the volume stays
+        VMEM-resident, z displacement is unbounded, y/x displacement
+        beyond the window degrades to clamped sampling. FORWARD-ONLY
+        (serving); measure the field first with
+        ``pallas_warp.displacement_window``.
 
     Returns:
       ``(B, C, *out_shape)``.
@@ -510,6 +517,13 @@ def grid_sample(vol, coords, mode="bilinear", padding="zeros",
 
     if ndim == 3 and mode == "bilinear" and spatial[-1] >= 2 \
             and spatial[-2] >= 2:
+        if plane_window is not None and out_shape == spatial:
+            from .pallas_warp import warp_plane_gather
+            return warp_plane_gather(
+                vol, coords, padding=padding,
+                dy_max=int(plane_window[0]), dx_max=int(plane_window[1]),
+                taps_dtype=(jnp.bfloat16 if taps_dtype == jnp.bfloat16
+                            else jnp.float32))
         if taps_dtype == jnp.bfloat16 and spatial[0] >= 2:
             return _trilinear_oct_bf16(vol, coords, padding, fast_vjp)
         return _trilinear_quad(vol, coords, padding, fast_vjp)
@@ -579,19 +593,21 @@ def grid_sample(vol, coords, mode="bilinear", padding="zeros",
 
 
 def grid_sample_normalized(vol, grid, mode="bilinear", padding="zeros",
-                           taps_dtype=None, fast_vjp=False):
+                           taps_dtype=None, fast_vjp=False,
+                           plane_window=None):
     """Like :func:`grid_sample` but ``grid`` holds [-1,1] normalized coords
     (align_corners=True), ``grid[..., d]`` indexing spatial axis ``d``."""
     spatial = vol.shape[2:]
     scale = jnp.asarray([(n - 1) * 0.5 for n in spatial], dtype=grid.dtype)
     coords = (grid + 1.0) * scale
     return grid_sample(vol, coords, mode=mode, padding=padding,
-                       taps_dtype=taps_dtype, fast_vjp=fast_vjp)
+                       taps_dtype=taps_dtype, fast_vjp=fast_vjp,
+                       plane_window=plane_window)
 
 
 def warp_image(image, phi, mode="bilinear", zero_boundary=True,
                scale_intensity=True, taps_dtype=None, mesh=None,
-               axis_name="data", fast_vjp=False):
+               axis_name="data", fast_vjp=False, plane_window=None):
     """Warp ``image`` by map ``phi`` — the reference's ``Bilinear`` transform
     (``net_utils.py:9-56``) with its channel flip already folded in.
 
@@ -619,7 +635,8 @@ def warp_image(image, phi, mode="bilinear", zero_boundary=True,
             return warp_image(im, ph, mode=mode,
                               zero_boundary=zero_boundary,
                               scale_intensity=scale_intensity,
-                              taps_dtype=taps_dtype, fast_vjp=fast_vjp)
+                              taps_dtype=taps_dtype, fast_vjp=fast_vjp,
+                              plane_window=plane_window)
 
         return jax.shard_map(_local, mesh=mesh, in_specs=(spec, spec),
                              out_specs=spec)(image, phi)
@@ -629,10 +646,12 @@ def warp_image(image, phi, mode="bilinear", zero_boundary=True,
     if scale_intensity:
         out = grid_sample_normalized((image + 1.0) * 0.5, grid, mode=mode,
                                      padding=padding, taps_dtype=taps_dtype,
-                                     fast_vjp=fast_vjp)
+                                     fast_vjp=fast_vjp,
+                                     plane_window=plane_window)
         return out * 2.0 - 1.0
     return grid_sample_normalized(image, grid, mode=mode, padding=padding,
-                                  taps_dtype=taps_dtype, fast_vjp=fast_vjp)
+                                  taps_dtype=taps_dtype, fast_vjp=fast_vjp,
+                                  plane_window=plane_window)
 
 
 def resize_nearest_2d(img, out_hw):

@@ -44,7 +44,8 @@ class RegistrationPipeline:
                  scan_range_deg=30.0, spacing=(2.2, 2.2, 2.2),
                  resolution=None, compute_dtype=None, s2d_encoder=False,
                  pca_expand_pallas=False, mesh=None, mask_ct=True,
-                 warp_taps_dtype="auto", refine_steps=0,
+                 warp_taps_dtype="auto", warp_plane_window=None,
+                 refine_steps=0,
                  refine_lr=0.05, refine_sim="ncc", refine_sim_opts=None,
                  refine_reg_factor=1e-3, refine_domain="image"):
         self.img_sz = tuple(int(s) for s in img_sz)
@@ -67,11 +68,16 @@ class RegistrationPipeline:
         self.mesh = mesh
         if warp_taps_dtype == "auto":
             warp_taps_dtype = compute_dtype
+        # warp_plane_window: (dy, dx) routes the serving warp through the
+        # Pallas locality kernel (forward-only; ops/pallas_warp.py) —
+        # measure the model's fields with pallas_warp.displacement_window
+        # before enabling.
         self.model = LiftRegSubspaceBackproj(
             img_sz=self.img_sz, latent_dim=latent_dim,
             drr_feature_num=n_proj, compute_dtype=compute_dtype,
             warp_taps_dtype=warp_taps_dtype, s2d_encoder=s2d_encoder,
             pca_expand_pallas=pca_expand_pallas, mask_ct=mask_ct,
+            warp_plane_window=warp_plane_window,
             mesh=mesh if mesh is not None and mesh.devices.size > 1
             else None)
         # optional instance refinement (refine.py): refine_steps > 0 rolls
@@ -173,7 +179,8 @@ class RegistrationPipeline:
         warped = resample.warp_image(
             self._moving_cp(inputs), res["phi"], zero_boundary=True,
             scale_intensity=True, taps_dtype=self._warp_taps_dtype,
-            mesh=self.model.mesh)
+            mesh=self.model.mesh,
+            plane_window=self.model.warp_plane_window)
         return warped, res["phi"]
 
     def _register_proj_impl(self, params, pca, source_hu, target_proj,

@@ -117,3 +117,32 @@ def test_window_measure():
         vol, px, padding="zeros", dy_max=int(dyw), dx_max=int(dxw),
         taps_dtype=jnp.float32, interpret=True)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+
+def test_pipeline_plane_window_matches_default():
+    """RegistrationPipeline(warp_plane_window=...) must reproduce the
+    default serving output when the field obeys the window (tiny shapes;
+    the kernel auto-interprets on CPU)."""
+    import jax
+    from liftreg_tpu.pipeline import RegistrationPipeline
+
+    rng = np.random.default_rng(21)
+    sz = (16, 16, 16)
+    kw = dict(img_sz=sz, latent_dim=4, n_proj=2, resolution=(24, 24))
+    pipe0 = RegistrationPipeline(**kw)
+    pipe1 = RegistrationPipeline(warp_plane_window=(4, 4), **kw)
+    n = 3 * 16 ** 3
+    pca = {"vectors": jnp.asarray(
+               rng.normal(size=(4, n)).astype(np.float32) * 0.003),
+           "mean": jnp.asarray(
+               rng.normal(size=(n,)).astype(np.float32) * 0.003)}
+    params = pipe0.init_params(jax.random.PRNGKey(0), pca)
+    src = jnp.asarray(
+        rng.uniform(-1000, 0, (1, 1) + sz).astype(np.float32))
+    tgt = jnp.asarray(
+        rng.uniform(-1000, 0, (1, 1) + sz).astype(np.float32))
+    seg = jnp.ones((1, 1) + sz, jnp.float32)
+    w0, p0 = pipe0.register(params, pca, src, tgt, seg, seg)
+    w1, p1 = pipe1.register(params, pca, src, tgt, seg, seg)
+    np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
+    np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), atol=1e-5)
