@@ -47,7 +47,8 @@ class RegistrationPipeline:
                  warp_taps_dtype="auto", warp_plane_window=None,
                  refine_steps=0,
                  refine_lr=0.05, refine_sim="ncc", refine_sim_opts=None,
-                 refine_reg_factor=1e-3, refine_domain="image"):
+                 refine_reg_factor=1e-3, refine_domain="image",
+                 refine_early_stop_patience=None, refine_early_stop_tol=1e-4):
         self.img_sz = tuple(int(s) for s in img_sz)
         self.spacing = tuple(float(s) for s in spacing)
         self.resolution = tuple(resolution) if resolution is not None \
@@ -100,7 +101,9 @@ class RegistrationPipeline:
                     n_steps=int(refine_steps), lr=refine_lr,
                     reg_factor=refine_reg_factor,
                     warp_taps_dtype=warp_taps_dtype,
-                    mesh=self.model.mesh)
+                    mesh=self.model.mesh,
+                    early_stop_patience=refine_early_stop_patience,
+                    early_stop_tol=refine_early_stop_tol)
             elif refine_domain == "projection":
                 from .refine import make_projection_refiner
                 self._refiner = make_projection_refiner(
@@ -109,7 +112,9 @@ class RegistrationPipeline:
                     n_steps=int(refine_steps), lr=refine_lr,
                     reg_factor=refine_reg_factor, proj_norm="drr",
                     warp_taps_dtype=warp_taps_dtype,
-                    mesh=self.model.mesh)
+                    mesh=self.model.mesh,
+                    early_stop_patience=refine_early_stop_patience,
+                    early_stop_tol=refine_early_stop_tol)
             else:
                 raise ValueError(f"refine_domain {refine_domain!r} not in "
                                  f"('image', 'projection')")

@@ -37,7 +37,8 @@ from .models.subspace_backproj import expand_pca
 from .ops import drr, resample
 
 
-def _build_refine(losses_fn, tx, n_steps):
+def _build_refine(losses_fn, tx, n_steps, early_stop_patience=None,
+                  early_stop_tol=1e-4):
     """Shared refinement loop: ``n_steps`` adam updates in a ``lax.scan``,
     returning PER SAMPLE the best iterate by that sample's objective (adam
     can overshoot near convergence, and one diverging batch element must
@@ -53,7 +54,28 @@ def _build_refine(losses_fn, tx, n_steps):
     entry. Selection uses ``where(total_i < best_i)`` — NaN totals never
     enter ``best`` (``x < NaN`` is False), so a blown-up step cannot freeze
     selection.
+
+    ``early_stop_patience=k`` swaps the scan for a ``lax.while_loop`` that
+    exits once NO sample has improved its best total by more than
+    ``early_stop_tol`` for ``k`` consecutive steps — converged requests
+    stop paying ~209 ms/step (VERDICT r3 #4); the best-iterate guarantee
+    is unchanged because selection logic is identical. History entries
+    past the exit step hold NaN. Default off: the while_loop is a
+    different traced program (compile-cache contract).
     """
+
+    def _step_math(z, opt_state, best_z, best_total, grad_fn):
+        (total, (per_total, (per_sim, _, _))), g = grad_fn(z)
+        better = per_total < best_total                # (B,), False on NaN
+        # broadcast the (B,) mask over z's trailing dims — z is (B, L)
+        # for subspace refinement, (B, 3, g, g, g) for optreg grids
+        best_z = jnp.where(
+            better.reshape((-1,) + (1,) * (z.ndim - 1)), z, best_z)
+        new_best = jnp.where(better, per_total, best_total)
+        updates, opt_state = tx.update(g, opt_state, z)
+        z = optax.apply_updates(z, updates)
+        return z, opt_state, best_z, new_best, total, jnp.mean(per_sim), \
+            per_total
 
     @jax.jit
     def refine(coefs0, *args):
@@ -62,30 +84,55 @@ def _build_refine(losses_fn, tx, n_steps):
             return jnp.mean(per_total), (per_total, aux)
 
         grad_fn = jax.value_and_grad(mean_loss, has_aux=True)
-
-        def step(carry, _):
-            z, opt_state, best_z, best_total = carry
-            (total, (per_total, (per_sim, _, _))), g = grad_fn(z)
-            better = per_total < best_total            # (B,), False on NaN
-            # broadcast the (B,) mask over z's trailing dims — z is (B, L)
-            # for subspace refinement, (B, 3, g, g, g) for optreg grids
-            best_z = jnp.where(
-                better.reshape((-1,) + (1,) * (z.ndim - 1)), z, best_z)
-            best_total = jnp.where(better, per_total, best_total)
-            updates, opt_state = tx.update(g, opt_state, z)
-            z = optax.apply_updates(z, updates)
-            return (z, opt_state, best_z, best_total), \
-                (total, jnp.mean(per_sim))
-
         z0 = coefs0.astype(jnp.float32)
         B = z0.shape[0]
-        init = (z0, tx.init(z0), z0, jnp.full((B,), jnp.inf, jnp.float32))
-        # n_steps + 1 evals covers z_0 (unrefined) through z_n (fully
-        # stepped); the last update's result is evaluated, not discarded
-        (_, _, best_z, _), (totals, sims) = jax.lax.scan(
-            step, init, None, length=n_steps + 1)
+
+        if early_stop_patience is None:
+            def step(carry, _):
+                z, opt_state, best_z, best_total = carry
+                z, opt_state, best_z, best_total, total, msim, _ = \
+                    _step_math(z, opt_state, best_z, best_total, grad_fn)
+                return (z, opt_state, best_z, best_total), (total, msim)
+
+            init = (z0, tx.init(z0), z0,
+                    jnp.full((B,), jnp.inf, jnp.float32))
+            # n_steps + 1 evals covers z_0 (unrefined) through z_n (fully
+            # stepped); the last update's result is evaluated, not discarded
+            (_, _, best_z, _), (totals, sims) = jax.lax.scan(
+                step, init, None, length=n_steps + 1)
+            steps_run = None
+        else:
+            patience = int(early_stop_patience)
+            nan = jnp.full((n_steps + 1,), jnp.nan, jnp.float32)
+
+            def cond(carry):
+                _, _, _, _, i, stale, _, _ = carry
+                return jnp.logical_and(i < n_steps + 1, stale < patience)
+
+            def body(carry):
+                z, opt_state, best_z, best_total, i, stale, totals, sims \
+                    = carry
+                z, opt_state, best_z, new_best, total, msim, per_total = \
+                    _step_math(z, opt_state, best_z, best_total, grad_fn)
+                # "improved" counts only significant movement of any
+                # sample's best; the best tracking itself stays strict
+                improved = jnp.any(per_total
+                                   < best_total - early_stop_tol)
+                stale = jnp.where(improved, 0, stale + 1)
+                totals = totals.at[i].set(total)
+                sims = sims.at[i].set(msim)
+                return (z, opt_state, best_z, new_best, i + 1, stale,
+                        totals, sims)
+
+            init = (z0, tx.init(z0), z0,
+                    jnp.full((B,), jnp.inf, jnp.float32),
+                    jnp.asarray(0), jnp.asarray(0), nan, nan)
+            (_, _, best_z, _, i, _, totals, sims) = jax.lax.while_loop(
+                cond, body, init)
+            steps_run = i
+
         sel_total, (sel_sim, phi, warped) = losses_fn(best_z, *args)
-        return {
+        out = {
             "coefs": best_z,
             "phi": phi,
             "warped": warped,
@@ -100,13 +147,17 @@ def _build_refine(losses_fn, tx, n_steps):
             "total_per_sample": sel_total,
             "sim_per_sample": sel_sim,
         }
+        if steps_run is not None:
+            out["steps_run"] = steps_run
+        return out
 
     return refine
 
 
 def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
                  reg_factor=1e-3, warp_taps_dtype=None, mesh=None,
-                 fast_vjp=False):
+                 fast_vjp=False, early_stop_patience=None,
+                 early_stop_tol=1e-4):
     """Build a jitted refinement function for one volume geometry.
 
     Args:
@@ -128,6 +179,10 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
       fast_vjp: use the warp's no-re-gather custom VJP (the refine step
         differentiates the warp wrt phi every iteration; see
         ``resample._quad_sample_bwd``).
+      early_stop_patience: stop once no sample improved its best total by
+        more than ``early_stop_tol`` for this many consecutive steps
+        (``lax.while_loop``; ``_build_refine`` docstring). None = fixed
+        ``n_steps`` scan.
 
     Returns:
       ``refine(coefs0, pca, moving, target) -> dict`` with keys
@@ -161,7 +216,9 @@ def make_refiner(img_sz, sim="ncc", sim_opts=None, n_steps=30, lr=0.05,
             disp, reduction="none")
         return total, (sim_loss, phi, warped)
 
-    return _build_refine(_losses, tx, n_steps)
+    return _build_refine(_losses, tx, n_steps,
+                         early_stop_patience=early_stop_patience,
+                         early_stop_tol=early_stop_tol)
 
 
 #: similarities whose implementation is 3D-volume-only (NCDHW box-filter
@@ -174,7 +231,8 @@ def make_projection_refiner(img_sz, poses, resolution,
                             sim_opts=None, n_steps=30, lr=0.05,
                             reg_factor=1e-3, proj_norm="drr",
                             warp_taps_dtype=None, mesh=None,
-                            fast_vjp=False):
+                            fast_vjp=False, early_stop_patience=None,
+                            early_stop_tol=1e-4):
     """Projection-domain refinement: no target CT needed at serving time.
 
     The deployment scenario for 2D/3D registration is CBCT-free treatment
@@ -249,4 +307,6 @@ def make_projection_refiner(img_sz, poses, resolution,
             disp, reduction="none")
         return total, (sim_loss, phi, warped)
 
-    return _build_refine(_losses, tx, n_steps)
+    return _build_refine(_losses, tx, n_steps,
+                         early_stop_patience=early_stop_patience,
+                         early_stop_tol=early_stop_tol)

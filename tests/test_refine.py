@@ -342,3 +342,53 @@ def test_register_projections_rejects_image_refiner():
     proj = jnp.zeros((1, 2) + pipe.resolution, jnp.float32)
     with pytest.raises(ValueError, match="refine_domain"):
         pipe.register_projections(params, pca, src, proj)
+
+
+def test_early_stop_matches_scan_and_exits_early():
+    """early_stop_patience: results match the fixed scan when the budget
+    is never cut, and a converged start exits well before n_steps."""
+    import jax
+    rng = np.random.default_rng(31)
+    sz = (12, 12, 12)
+    L, B = 4, 2
+    n = 3 * 12 ** 3
+    pca = {"vectors": jnp.asarray(
+               rng.normal(size=(L, n)).astype(np.float32) * 0.01),
+           "mean": jnp.zeros((n,), jnp.float32)}
+    moving = jnp.asarray(rng.uniform(-1, 1, (B, 1) + sz).astype(np.float32))
+    z_true = jnp.asarray(rng.normal(size=(B, L)).astype(np.float32))
+    from liftreg_tpu.refine import make_refiner
+    ref_plain = make_refiner(sz, n_steps=12, lr=0.05)
+    # build the target as the true-warped moving so refinement has signal
+    from liftreg_tpu.models.subspace_backproj import expand_pca
+    from liftreg_tpu.coords import identity_map
+    from liftreg_tpu.ops import resample
+    disp = expand_pca(z_true, pca["vectors"], pca["mean"], sz)
+    target = resample.warp_image(moving, disp + identity_map(sz)[None])
+
+    z0 = jnp.zeros((B, L), jnp.float32)
+    out_plain = ref_plain(z0, pca, moving, target)
+
+    # patience larger than n_steps -> identical trajectory and outputs
+    ref_es = make_refiner(sz, n_steps=12, lr=0.05,
+                          early_stop_patience=99, early_stop_tol=0.0)
+    out_es = ref_es(z0, pca, moving, target)
+    np.testing.assert_allclose(np.asarray(out_es["coefs"]),
+                               np.asarray(out_plain["coefs"]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(out_es["total_history"]),
+                               np.asarray(out_plain["total_history"]),
+                               rtol=1e-6, atol=1e-7)
+    assert int(out_es["steps_run"]) == 13      # n_steps + 1
+
+    # starting AT the optimum with a loose tol -> exits at the patience
+    ref_fast = make_refiner(sz, n_steps=12, lr=1e-4,
+                            early_stop_patience=2, early_stop_tol=1e-2)
+    out_fast = ref_fast(z_true, pca, moving, target)
+    assert int(out_fast["steps_run"]) < 13
+    # the best-iterate guarantee still holds PER SAMPLE: never worse than
+    # that sample's own unrefined objective
+    ref0 = make_refiner(sz, n_steps=0, lr=1e-4)
+    init_per_sample = ref0(z_true, pca, moving, target)["total_per_sample"]
+    assert np.all(np.asarray(out_fast["total_per_sample"])
+                  <= np.asarray(init_per_sample) + 1e-6)
