@@ -518,12 +518,14 @@ def grid_sample(vol, coords, mode="bilinear", padding="zeros",
     if ndim == 3 and mode == "bilinear" and spatial[-1] >= 2 \
             and spatial[-2] >= 2:
         if plane_window is not None and out_shape == spatial:
-            from .pallas_warp import warp_plane_gather
-            return warp_plane_gather(
-                vol, coords, padding=padding,
-                dy_max=int(plane_window[0]), dx_max=int(plane_window[1]),
-                taps_dtype=(jnp.bfloat16 if taps_dtype == jnp.bfloat16
-                            else jnp.float32))
+            # differentiable wrt coords (the with_grad kernel variant
+            # becomes the custom-VJP residual source); the image cotangent
+            # is fail-loud NaN — see pallas_warp.warp_plane_sample
+            from .pallas_warp import warp_plane_sample
+            taps = "bfloat16" if taps_dtype == jnp.bfloat16 else "float32"
+            return warp_plane_sample(
+                padding, int(plane_window[0]), int(plane_window[1]),
+                taps, "auto", vol, coords)
         if taps_dtype == jnp.bfloat16 and spatial[0] >= 2:
             return _trilinear_oct_bf16(vol, coords, padding, fast_vjp)
         return _trilinear_quad(vol, coords, padding, fast_vjp)

@@ -146,3 +146,56 @@ def test_pipeline_plane_window_matches_default():
     w1, p1 = pipe1.register(params, pca, src, tgt, seg, seg)
     np.testing.assert_array_equal(np.asarray(p0), np.asarray(p1))
     np.testing.assert_allclose(np.asarray(w0), np.asarray(w1), atol=1e-5)
+
+
+def test_plane_sample_grad_matches_plain_ad():
+    """warp_plane_sample's analytic coord-gradient (with_grad kernel)
+    must match plain AD of the quad implementation, both paddings; the
+    image cotangent is fail-loud NaN by design."""
+    import jax
+    rng = np.random.default_rng(33)
+    D = W = H = 16
+    vol = jnp.asarray(rng.uniform(-1, 1, (2, 2, D, W, H)).astype(np.float32))
+    px = _smooth_field(rng, (D, W, H), (0.4, 0.15, 0.15), 2)
+
+    for padding in ("zeros", "border"):
+        a = pallas_warp.warp_plane_sample(padding, 5, 5, "float32", True,
+                                          vol, px)
+        b = pallas_warp.warp_plane_gather(vol, px, padding=padding,
+                                          dy_max=5, dx_max=5,
+                                          taps_dtype=jnp.float32,
+                                          interpret=True)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+        gp = jax.grad(lambda p: jnp.sum(pallas_warp.warp_plane_sample(
+            padding, 5, 5, "float32", True, vol, p) ** 2))(px)
+        gq = jax.grad(lambda p: jnp.sum(
+            resample._quad_impl(padding, vol, p)[0] ** 2))(px)
+        np.testing.assert_allclose(np.asarray(gp), np.asarray(gq),
+                                   rtol=1e-4, atol=1e-5, err_msg=padding)
+
+    gv = jax.grad(lambda v: jnp.sum(pallas_warp.warp_plane_sample(
+        "zeros", 5, 5, "float32", True, v, px)))(vol)
+    assert np.isnan(np.asarray(gv)).all()
+
+
+def test_warp_image_plane_window_grad():
+    """The integrated path: warp_image(plane_window=...) gradient wrt phi
+    equals the default path's gradient (the refinement use case)."""
+    import jax
+    from liftreg_tpu.ops.resample import warp_image
+    rng = np.random.default_rng(35)
+    D = W = H = 12
+    vol = jnp.asarray(rng.uniform(-1, 1, (1, 1, D, W, H)).astype(np.float32))
+    px = _smooth_field(rng, (D, W, H), (0.3, 0.1, 0.1), 1)
+    # back to normalized phi (B, 3, D, W, H)
+    sz = jnp.asarray([D - 1, W - 1, H - 1], jnp.float32)
+    phi = jnp.moveaxis(px / sz * 2.0 - 1.0, -1, 1)
+
+    def loss(fn_kwargs):
+        return lambda p: jnp.sum(warp_image(vol, p, **fn_kwargs) ** 2)
+
+    g0 = jax.grad(loss({}))(phi)
+    g1 = jax.grad(loss({"plane_window": (4, 4)}))(phi)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g0),
+                               rtol=1e-4, atol=1e-5)
