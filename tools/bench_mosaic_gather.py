@@ -51,13 +51,18 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     G, T = args.inner, args.grid
 
+    def sync(o):
+        # axon tunnel: block_until_ready returns at DISPATCH; only a
+        # scalar readback truly syncs (bench.py:159)
+        float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
+
     def timed(fn, *xs, reps):
         out = fn(*xs)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*xs)
-        jax.block_until_ready(out)
+        sync(out)
         return (time.perf_counter() - t0) / reps
 
     def report(name, secs, elems):

@@ -40,13 +40,18 @@ def main(argv=None):
     B, sz = args.batch, args.size
     print(f"B={B} {sz}^3 on {jax.devices()[0]}", flush=True)
 
+    def sync(o):
+        # axon tunnel: block_until_ready returns at DISPATCH; only a
+        # scalar readback truly syncs (bench.py:159)
+        float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
+
     def timed(fn, *xs, reps=args.reps):
         out = fn(*xs)
-        jax.block_until_ready(out)
+        sync(out)
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn(*xs)
-        jax.block_until_ready(out)
+        sync(out)
         return (time.perf_counter() - t0) / reps * 1000.0
 
     # on-device inputs: volume + smooth field (z ~ +/-10 vox, y/x ~ +/-4)

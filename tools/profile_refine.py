@@ -26,13 +26,21 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def timed(fn, *args, reps=10, warmup=2):
     import jax
+    import jax.numpy as jnp
+
+    def sync(o):
+        # axon tunnel: block_until_ready returns at DISPATCH; only a
+        # scalar readback truly syncs (bench.py:159). Device executes
+        # in order, so syncing the last dispatch syncs the stream.
+        float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
+
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     t0 = time.perf_counter()
     for _ in range(reps):
         out = fn(*args)
-    jax.block_until_ready(out)
+    sync(out)
     return (time.perf_counter() - t0) / reps * 1000.0
 
 
