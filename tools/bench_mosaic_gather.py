@@ -26,9 +26,10 @@ import argparse
 import functools
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools._timing import print_calibration, timed_ms  # noqa: E402
 
 
 def main(argv=None):
@@ -51,19 +52,11 @@ def main(argv=None):
         jax.config.update("jax_platforms", "cpu")
     G, T = args.inner, args.grid
 
-    def sync(o):
-        # axon tunnel: block_until_ready returns at DISPATCH; only a
-        # scalar readback truly syncs (bench.py:159)
-        float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
+    if not args.interpret:
+        print_calibration()
 
     def timed(fn, *xs, reps):
-        out = fn(*xs)
-        sync(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*xs)
-        sync(out)
-        return (time.perf_counter() - t0) / reps
+        return timed_ms(fn, *xs, reps=reps, warmup=1) / 1000.0
 
     def report(name, secs, elems):
         print(f"{name:<44} {secs * 1e3:8.3f} ms  "

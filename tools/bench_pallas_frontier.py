@@ -16,31 +16,12 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
-
 import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, *args, reps=10, warmup=2):
-    import jax
-    import jax.numpy as jnp
-
-    def sync(o):
-        # axon tunnel: block_until_ready returns at DISPATCH; only a
-        # scalar readback truly syncs (bench.py:159). Device executes
-        # in order, so syncing the last dispatch syncs the stream.
-        float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
-
-    for _ in range(warmup):
-        out = fn(*args)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / reps * 1000.0
+from tools._timing import print_calibration, timed_ms as timed  # noqa: E402
 
 
 def bench_pca(B=4, sz=160, latents=(56, 128, 256), reps=10):
@@ -123,6 +104,7 @@ def main(argv=None):
 
     import jax
     print(f"device: {jax.devices()[0]}")
+    print_calibration()
     rows = []
     if not args.skip_pca:
         rows += bench_pca(reps=args.reps)

@@ -19,9 +19,10 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools._timing import print_calibration, timed_ms  # noqa: E402
 
 
 def main(argv=None):
@@ -39,20 +40,10 @@ def main(argv=None):
 
     B, sz = args.batch, args.size
     print(f"B={B} {sz}^3 on {jax.devices()[0]}", flush=True)
-
-    def sync(o):
-        # axon tunnel: block_until_ready returns at DISPATCH; only a
-        # scalar readback truly syncs (bench.py:159)
-        float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
+    print_calibration()
 
     def timed(fn, *xs, reps=args.reps):
-        out = fn(*xs)
-        sync(out)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn(*xs)
-        sync(out)
-        return (time.perf_counter() - t0) / reps * 1000.0
+        return timed_ms(fn, *xs, reps=reps, warmup=1)
 
     # on-device inputs: volume + smooth field (z ~ +/-10 vox, y/x ~ +/-4)
     keys = jax.random.split(jax.random.PRNGKey(0), 3)

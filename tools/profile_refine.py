@@ -19,29 +19,11 @@ from __future__ import annotations
 import argparse
 import os
 import sys
-import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def timed(fn, *args, reps=10, warmup=2):
-    import jax
-    import jax.numpy as jnp
-
-    def sync(o):
-        # axon tunnel: block_until_ready returns at DISPATCH; only a
-        # scalar readback truly syncs (bench.py:159). Device executes
-        # in order, so syncing the last dispatch syncs the stream.
-        float(jnp.sum(jax.tree_util.tree_leaves(o)[0]))
-
-    for _ in range(warmup):
-        out = fn(*args)
-    sync(out)
-    t0 = time.perf_counter()
-    for _ in range(reps):
-        out = fn(*args)
-    sync(out)
-    return (time.perf_counter() - t0) / reps * 1000.0
+from tools._timing import print_calibration, timed_ms as timed  # noqa: E402
 
 
 def main(argv=None):
@@ -89,6 +71,7 @@ def main(argv=None):
 
     print(f"B={B} {sz}^3 latent={L} taps={args.taps} pca={args.pca} "
           f"fast_vjp={fv} on {jax.devices()[0]}", flush=True)
+    print_calibration()
     rows = []
 
     def add(name, ms):
