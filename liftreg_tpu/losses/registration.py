@@ -128,10 +128,36 @@ class RegNet2D3DLoss(SubspaceLoss):
                 "reg_loss": reg_loss}
 
 
+class RegNetImageLoss(SubspaceLoss):
+    """CT–CT image-domain similarity for the dense (basis-building) stage.
+
+    The reference trains RegNet2D3D with bidirectional *projection*
+    similarity (``RegNet2D3DLoss.py:31-32``) — there it is a 2D/3D
+    registration model in its own right. For constructing the PCA
+    deformation subspace the paper's premise is the opposite
+    (``/root/reference/README.md:10-11``): training pairs are simulated,
+    so the target CT is available and the dense registrations feeding the
+    basis can be driven by a high-quality CT–CT similarity. ``total =
+    sim(warped, target) + reg_factor * reg(forward disp)``. The inverse
+    fixed-point scan and all three reprojections are unread and fall out
+    of the traced program (XLA DCE), so the stage-1 step is also cheaper
+    than under the projection loss.
+    """
+
+    def __call__(self, output, reg_factor, weights=None):
+        sim_loss = self.sim(output["warped"], output["target"],
+                            weights=weights)
+        reg_loss = displacement_reg(output["params"][0], weights=weights)
+        total = sim_loss + reg_factor * reg_loss
+        return {"total_loss": total, "sim_loss": sim_loss,
+                "reg_loss": reg_loss}
+
+
 LOSS_REGISTRY = {
     "subspace": SubspaceLoss,
     "subspace2d": Subspace2DLoss,
     "regnet2d3d": RegNet2D3DLoss,
+    "regnet_image": RegNetImageLoss,
     # reference class-path aliases (``cur_task_setting.json:53``)
     "liftreg.losses.SubspaceLoss.loss": SubspaceLoss,
     "liftreg.losses.Subspace2DLoss.loss": Subspace2DLoss,

@@ -187,6 +187,9 @@ class RegNet2D3D(nn.Module):
         return {
             "warped": warped,
             "phi": phi,
+            "target": target,   # subspace-model output convention; lets
+            # image-domain losses (RegNetImageLoss) read the pair from the
+            # output dict alone. Unread keys are DCE'd by XLA.
             "params": [disp, disp_inv],
             "warped_proj": warped_proj,
             "warped_proj_inv": warped_proj_inv,

@@ -122,6 +122,7 @@ ACCEPTED_UNUSED_KEYS = {
 CONDITIONAL_KEYS = {
     "train.mode", "train.test_from", "train.continue_from",
     "train.continue_train", "train.continue_train_lr",
+    "train.init_params_from",
     "train.model.latent_dim", "train.model.drr_feature_num",
     "train.model.mask_ct", "train.model.warp_taps_dtype",
     "train.model.pca_path",
@@ -321,6 +322,19 @@ class RegistrationTrainer(TrainerBase):
         # Resume / test restore
         self.start_epoch = 0
         self.global_step = {p: 0 for p in ("train", "val", "debug", "test")}
+        # Warm start: parameters from a checkpoint, everything else fresh
+        # (epoch 0, new optimizer moments, this config's loss/schedules).
+        # The reference has no counterpart (resume_train always restores
+        # the full training state, net_utils.py:127-192); needed to
+        # fine-tune under a different objective, e.g. LNCC from an
+        # NCC-converged checkpoint (BASELINE config 5 control).
+        init_from = get(train_setting, "init_params_from", "")
+        if self.mode == "train" and init_from:
+            restored = resume_train(init_from, self.params)
+            if restored:
+                self.params = jax.device_put(restored[2]["params"])
+                print(f"=> warm start: params from '{init_from}' "
+                      "(epoch/optimizer/schedule state fresh)", flush=True)
         if self.mode == "train" and get(train_setting, "continue_train", False):
             restored = resume_train(train_setting["continue_from"], self.params)
             if restored:

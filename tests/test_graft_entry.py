@@ -10,9 +10,15 @@ import os
 import subprocess
 import sys
 
+import pytest
+
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+# full trainer dryrun in a subprocess (~110s on the 1-core CPU mesh); the
+# driver independently executes dryrun_multichip(8) every round, so the
+# fast suite keeps only the cheap contract checks
+@pytest.mark.slow
 def test_dryrun_multichip_self_forces_cpu_mesh():
     """Import fresh with JAX_PLATFORMS preset to a non-CPU platform and no
     device-count forcing; dryrun_multichip(8) must still pass."""

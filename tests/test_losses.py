@@ -120,6 +120,30 @@ def test_subspace_loss_combines():
     assert float(res["total_loss"]) == pytest.approx(want, rel=1e-6)
 
 
+def test_regnet_image_loss_uses_forward_field_only():
+    """RegNetImageLoss (the CT-CT basis-building objective): sim on
+    warped/target volumes, reg on the FORWARD displacement only — the
+    inverse field must not contribute (it gets DCE'd in the jitted step)."""
+    rng = np.random.default_rng(6)
+    out = {
+        "warped": jnp.asarray(rng.normal(size=(2, 1, 6, 6, 6)).astype(np.float32)),
+        "target": jnp.asarray(rng.normal(size=(2, 1, 6, 6, 6)).astype(np.float32)),
+        "params": [
+            jnp.asarray(rng.normal(size=(2, 3, 6, 6, 6)).astype(np.float32)),
+            jnp.asarray(np.full((2, 3, 6, 6, 6), np.nan, np.float32)),
+        ],
+    }
+    loss_fn = losses.get_loss("regnet_image")({"sim_class": "ncc",
+                                               "initial_reg_factor": 0.01,
+                                               "min_reg_factor": 0.01,
+                                               "reg_factor_decay_from": 2})
+    res = loss_fn(out, loss_fn.factor(epoch=0))
+    want = float(losses.ncc_loss(out["warped"], out["target"])) + \
+        0.01 * float(losses.displacement_reg(out["params"][0]))
+    assert float(res["total_loss"]) == pytest.approx(want, rel=1e-6)
+    assert np.isfinite(float(res["total_loss"]))  # NaN inverse never read
+
+
 def test_lncc_smooth_preserves_constants_and_descends():
     """smooth= pre-filter: exact boundary normalization + plumbing.
 

@@ -78,9 +78,9 @@ def test_backproj_model_grad_flows():
 
 def test_regnet2d3d_forward():
     rng = np.random.default_rng(2)
-    sz = 32
+    sz = 16  # shape-independent contract; 32^3 costs 28s on the 1-core CPU
     model = RegNet2D3D(img_sz=(sz, sz, sz), drr_feature_num=4)
-    inputs = make_inputs(rng, B=1, sz=sz, proj=48, with_original=True)
+    inputs = make_inputs(rng, B=1, sz=sz, proj=24, with_original=True)
     params = model.init(jax.random.PRNGKey(0), inputs)
     out = model.apply(params, inputs)
     assert out["warped"].shape == (1, 1, sz, sz, sz)
@@ -156,7 +156,8 @@ def test_subspace_ablation_mask_ct_off():
                                   np.asarray(inputs["target"]))
 
 
-def test_fast_vjp_model_grads_match():
+@pytest.mark.slow  # ~26s: model-level re-pin of the op-level gradient
+def test_fast_vjp_model_grads_match():  # pin in test_resample (fast suite)
     """model.fast_vjp routes warps through the custom VJP; parameter
     gradients must match plain AD (subspace and RegNet2D3D families)."""
     rng = np.random.default_rng(9)

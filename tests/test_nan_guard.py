@@ -9,6 +9,8 @@ import sys
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # e2e trainer runs (~52s on the 1-core CPU mesh)
+
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 

@@ -84,6 +84,7 @@ def problem():
     return seg, gt, disp, out_a
 
 
+@pytest.mark.slow  # shares the ~26s multi-level registration fixture
 def test_optreg_recovers_deformation(problem):
     seg, gt, disp, out = problem
     sims = np.asarray(out["sim_history"])
@@ -115,6 +116,7 @@ def test_disp_from_optreg_dataset_path(tmp_path):
     assert pca_lib.explained_variance_ratio(X, vectors, mean) > 0.5
 
 
+@pytest.mark.slow  # shares the ~26s multi-level registration fixture
 def test_optreg_fields_span_gt_subspace(problem):
     """The end-to-end property the workflow needs: PCA over optreg fields
     must span the GT deformations of HELD-OUT pairs on the informative

@@ -8,6 +8,8 @@ unbounded by construction (sublane gather).
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow  # interpret-mode kernel goldens (~2 min); the kernel is a no-go opt-in (DESIGN.md sec 3)
+
 import jax.numpy as jnp
 
 from liftreg_tpu import coords

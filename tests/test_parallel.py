@@ -25,6 +25,9 @@ def test_shard_batch_layout():
     assert poses_sharding.shard_shape(sharded["target_poses"].shape) == (2, 3)
 
 
+# full trainer dryrun (~90s on the 1-core CPU mesh); the driver runs the
+# real dryrun_multichip(8) every round — keep it out of the fast suite
+@pytest.mark.slow
 def test_dryrun_multichip_entrypoint():
     import __graft_entry__ as g
     g.dryrun_multichip(4)

@@ -93,6 +93,7 @@ def test_refine_batched_and_reg_factor():
     assert np.abs(disp_h).max() < 0.01
 
 
+@pytest.mark.slow  # ~21s e2e pipeline on the 1-core CPU
 def test_pipeline_refinement_improves_similarity():
     """RegistrationPipeline(refine_steps=N) fuses refinement into the one
     jitted program and must beat the unrefined pipeline's similarity on
@@ -172,6 +173,7 @@ def test_projection_refiner_recovers_subspace_warp():
     assert d1 < d0
 
 
+@pytest.mark.slow  # ~15s e2e pipeline on the 1-core CPU
 def test_register_projections_matches_register():
     """register_projections (no target CT) must equal register when fed
     the same projections the pipeline would simulate internally."""
@@ -202,6 +204,7 @@ def test_register_projections_matches_register():
                                atol=1e-6)
 
 
+@pytest.mark.slow  # ~18s e2e pipeline on the 1-core CPU
 def test_pipeline_projection_refinement():
     """refine_domain='projection': the fused projection-domain refinement
     must cut the projection mismatch, without ever reading a target CT."""
@@ -328,6 +331,7 @@ def test_projection_refiner_rejects_volume_only_sim():
                                 sim="lncc")
 
 
+@pytest.mark.slow  # ~14s e2e pipeline on the 1-core CPU
 def test_register_projections_rejects_image_refiner():
     from liftreg_tpu.pipeline import RegistrationPipeline
 
@@ -344,6 +348,7 @@ def test_register_projections_rejects_image_refiner():
         pipe.register_projections(params, pca, src, proj)
 
 
+@pytest.mark.slow  # ~22s while_loop compile on the 1-core CPU
 def test_early_stop_matches_scan_and_exits_early():
     """early_stop_patience: results match the fixed scan when the budget
     is never cut, and a converged start exits well before n_steps."""

@@ -171,6 +171,7 @@ def test_v2_arrays_are_zero_copy_views(artifact):
         assert leaf.base is not None
 
 
+@pytest.mark.slow  # ~13s: full re-export on the 1-core CPU
 def test_v2_preserves_bf16_leaves(tmp_path):
     """A bf16 PCA basis (the production serving config) must round-trip
     through the v2 dtype-name descriptors."""
@@ -204,6 +205,7 @@ def test_meta_recorded(artifact):
     assert srv.platforms == ("cpu",)
 
 
+@pytest.mark.slow  # ~13s: re-export + reload on the 1-core CPU
 def test_multiplatform_artifact_serves_on_cpu(tmp_path):
     """A ("tpu", "cpu") artifact — the production default — must lower for
     both platforms from a CPU export host and still serve on CPU."""
@@ -225,6 +227,7 @@ def test_multiplatform_artifact_serves_on_cpu(tmp_path):
     assert phi.shape == (1, 3, SZ, SZ, SZ)
 
 
+@pytest.mark.slow  # ~15s: refinement serve on the 1-core CPU
 def test_refined_artifact_beats_unrefined(artifact, tmp_path):
     """A pipeline with refine_steps exports the fused refinement loop too;
     the refined artifact must beat the plain one's masked-pair NCC."""
@@ -249,6 +252,7 @@ def test_refined_artifact_beats_unrefined(artifact, tmp_path):
     assert float(ncc_loss(w1, target_cp)) < float(ncc_loss(w0, target_cp))
 
 
+@pytest.mark.slow  # ~17s: projection-entry re-trace on the 1-core CPU
 def test_projection_entry_artifact(artifact, tmp_path):
     """entry='register_projections': the CT-free artifact (projection
     refinement baked in) matches the live pipeline and rejects the wrong
@@ -289,6 +293,7 @@ def test_projection_entry_artifact(artifact, tmp_path):
         srv0.register_projections(a["src"], proj)
 
 
+@pytest.mark.slow  # ~10s: subprocess CLI serve on the 1-core CPU
 def test_serve_batch_cli(artifact, tmp_path):
     """tools/serve_batch.py: 3 cases through a B=2 artifact (one full +
     one partial dispatch); outputs match direct ServingModel calls."""
@@ -328,6 +333,7 @@ def test_serve_batch_cli(artifact, tmp_path):
                                    atol=1e-6)
 
 
+@pytest.mark.slow  # ~10s: subprocess CLI serve on the 1-core CPU
 def test_serve_batch_cli_projection_artifact(artifact, tmp_path):
     """serve_batch auto-detects a CT-free artifact and consumes
     <id>_target_proj.npy instead of target volumes."""

@@ -123,3 +123,29 @@ def test_resume_training(synth_dataset, tmp_path):
     trainer2 = RegistrationTrainer(setting2)
     assert trainer2.start_epoch == 1
     trainer2.run()
+
+
+def test_warm_start_params_only(synth_dataset, tmp_path):
+    """``train.init_params_from``: params come from the checkpoint but
+    epoch/optimizer/schedule state start fresh (fine-tune semantics, e.g.
+    LNCC from an NCC-converged checkpoint)."""
+    import jax
+    from liftreg_tpu.train import RegistrationTrainer
+
+    exp = str(tmp_path / "exp_ws_src")
+    os.makedirs(exp, exist_ok=True)
+    trainer = RegistrationTrainer(make_setting(synth_dataset, exp, epochs=0))
+    trainer.run()
+    ckpt = os.path.join(exp, "checkpoints", "latest_checkpoint.ckpt")
+
+    exp2 = str(tmp_path / "exp_ws_dst")
+    os.makedirs(exp2, exist_ok=True)
+    setting2 = make_setting(synth_dataset, exp2, epochs=0)
+    setting2["train"]["init_params_from"] = ckpt
+    setting2["train"]["loss"]["sim_class"] = "lncc"  # new objective is fine
+    trainer2 = RegistrationTrainer(setting2)
+    assert trainer2.start_epoch == 0  # fresh schedule, not a resume
+    src_leaves = jax.tree_util.tree_leaves(trainer.params)
+    dst_leaves = jax.tree_util.tree_leaves(trainer2.params)
+    assert all(np.array_equal(np.asarray(a), np.asarray(b))
+               for a, b in zip(src_leaves, dst_leaves))

@@ -64,6 +64,18 @@ _ap.add_argument("--stage1_inverse_iters", type=int, default=7)
 # images (inverse-flow + chained warp), where the scalar-scatter image
 # grad beats AD's row scatters ~7x (DESIGN.md section 3a)
 _ap.add_argument("--stage1_fast_vjp", action="store_true")
+# stage-1 training objective: the reference's bidirectional projection
+# similarity (RegNet2D3DLoss.py:31-32), or the paper-premise CT-CT image
+# similarity (README.md:10-11: simulated pairs exist precisely so a
+# high-quality CT-CT loss can drive training) — losses/registration.py
+# RegNetImageLoss. The basis only consumes the forward field either way.
+_ap.add_argument("--stage1_loss", choices=("regnet2d3d", "image"),
+                 default="regnet2d3d")
+# basis-span gate (VERDICT r4 #1): after stage 2, measure the GT-span
+# relative residual of the learned basis on the test split's gt_phi
+# (tools/basis_oracle.py) and ABORT before the stage-3 spend if it
+# exceeds this bound. 0 disables the gate (the residual still prints).
+_ap.add_argument("--gate_residual", type=float, default=0.0)
 _args = _ap.parse_args()
 DATA = _args.data
 OUT = _args.out
@@ -91,7 +103,8 @@ s1 = base_setting(exp_rn, epochs=_args.stage1_epochs)
 s1["dataset"]["dataset_class"] = "registration2d3d_projloss"
 s1["dataset"]["apply_hu_clip"] = False
 s1["train"]["model_class"] = "regnet2d3d"
-s1["train"]["loss_class"] = "regnet2d3d"
+s1["train"]["loss_class"] = ("regnet_image" if _args.stage1_loss == "image"
+                             else "regnet2d3d")
 s1["train"]["model"] = {"drr_feature_num": 4, "s2d_encoder": _args.s2d,
                         "inverse_iters": _args.stage1_inverse_iters,
                         "fast_vjp": _args.stage1_fast_vjp}
@@ -123,6 +136,20 @@ for k in sorted({2, 4, 8, 16, latent}):
 ratio = pca_lib.explained_variance_ratio(X, vectors, mean)
 print(f"STAGE2 pca done, explained variance {ratio:.3f}, "
       f"{round(time.time()-t1,1)}s", flush=True)
+
+# ---- basis-span oracle: can this basis express the test deformations?
+# (residual r lower-bounds achievable registration error at r * |disp|;
+# the round-4 3-epoch stage-1 basis scored 1.000 here and stage 3 was
+# provably wasted spend — VERDICT r4 #1)
+from tools.basis_oracle import main as basis_oracle_main
+resid = basis_oracle_main(["--pca", pca_dir, "--data", DATA,
+                           "--phase", "test"])
+print(f"ORACLE gt-span residual (test) {resid:.4f}", flush=True)
+if _args.gate_residual and resid > _args.gate_residual:
+    print(f"GATE: residual {resid:.4f} > {_args.gate_residual} — the basis "
+          "cannot express the test deformations; skipping stage 3. "
+          "Escalate stage-1 budget (epochs/loss) and re-run.", flush=True)
+    sys.exit(3)
 
 # ---- stage 3: subspace model on the learned basis --------------------
 t2 = time.time()
