@@ -79,7 +79,10 @@ def test_backproj_model_grad_flows():
 def test_regnet2d3d_forward():
     rng = np.random.default_rng(2)
     sz = 16  # shape-independent contract; 32^3 costs 28s on the 1-core CPU
-    model = RegNet2D3D(img_sz=(sz, sz, sz), drr_feature_num=4)
+    # inverse_iters=2: the fixed-point inverse scan's length is a compile
+    # -time constant; 2 iterations exercise the same program structure
+    model = RegNet2D3D(img_sz=(sz, sz, sz), drr_feature_num=4,
+                       inverse_iters=2)
     inputs = make_inputs(rng, B=1, sz=sz, proj=24, with_original=True)
     params = model.init(jax.random.PRNGKey(0), inputs)
     out = model.apply(params, inputs)

@@ -202,29 +202,40 @@ def test_custom_vjp_matches_plain_ad():
         def f_plain(v, p):
             return jnp.sum(resample._quad_impl(padding, v, p)[0] ** 2)
 
-        for argnum in (0, 1):
-            gc = jax.grad(f_custom, argnums=argnum)(vol, px)
-            gp = jax.grad(f_plain, argnums=argnum)(vol, px)
-            np.testing.assert_allclose(np.asarray(gc), np.asarray(gp),
-                                       rtol=1e-5, atol=1e-5,
-                                       err_msg=f"quad {padding} arg{argnum}")
-
-        v1, p1 = vol[:1], px[:1]
-
         def o_custom(v, p):
             return jnp.sum(resample._oct_sample(padding, v, p) ** 2)
 
         def o_plain(v, p):
             return jnp.sum(resample._oct_impl(padding, v, p)[0] ** 2)
 
+        v1, p1 = vol[:1], px[:1]
+
+        # one compile for all 8 grad graphs (16 separate jax.grad calls
+        # dominated the fast suite at ~27s on the 1-core CPU)
+        @jax.jit
+        def all_grads(v, p, v1, p1):
+            quad = {(f, a): jax.grad(fn, argnums=a)(v, p)
+                    for f, fn in (("custom", f_custom), ("plain", f_plain))
+                    for a in (0, 1)}
+            oct_ = {(f, a): jax.grad(fn, argnums=a)(v1, p1)
+                    for f, fn in (("custom", o_custom), ("plain", o_plain))
+                    for a in (0, 1)}
+            return quad, oct_
+
+        quad, oct_ = all_grads(vol, px, v1, p1)
         for argnum in (0, 1):
-            gc = jax.grad(o_custom, argnums=argnum)(v1, p1)
-            gp = jax.grad(o_plain, argnums=argnum)(v1, p1)
+            np.testing.assert_allclose(
+                np.asarray(quad[("custom", argnum)]),
+                np.asarray(quad[("plain", argnum)]),
+                rtol=1e-5, atol=1e-5,
+                err_msg=f"quad {padding} arg{argnum}")
             # image grad (arg0): plain AD quantizes the cotangent to bf16
             # when scattering into the bf16 oct buffer; the custom VJP
             # accumulates in f32 (strictly more accurate), so the two
             # agree only to bf16 resolution there
             tol = 2e-2 if argnum == 0 else 1e-4
-            np.testing.assert_allclose(np.asarray(gc), np.asarray(gp),
-                                       rtol=tol, atol=tol,
-                                       err_msg=f"oct {padding} arg{argnum}")
+            np.testing.assert_allclose(
+                np.asarray(oct_[("custom", argnum)]),
+                np.asarray(oct_[("plain", argnum)]),
+                rtol=tol, atol=tol,
+                err_msg=f"oct {padding} arg{argnum}")
