@@ -38,3 +38,13 @@ import jax  # noqa: E402
 
 if os.environ.get("LIFTREG_ONCHIP_TESTS") != "1":
     jax.config.update("jax_platforms", "cpu")
+    # The fast suite is compile-dominated on the 1-core CPU (the top
+    # offenders are 10-30 s compiles of tiny programs). A persistent
+    # compilation cache makes repeat invocations cheap. This cache is
+    # CPU-only and kept SEPARATE from the TPU-host .jax_cache at the repo
+    # root (mixing backends in one dir risks AOT machine-feature
+    # mismatches — see tools/bench_refine.py).
+    _cache = os.path.join(os.path.dirname(__file__), ".jax_cache_cpu")
+    jax.config.update("jax_compilation_cache_dir", _cache)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
