@@ -71,6 +71,16 @@ _ap.add_argument("--stage1_fast_vjp", action="store_true")
 # RegNetImageLoss. The basis only consumes the forward field either way.
 _ap.add_argument("--stage1_loss", choices=("regnet2d3d", "image"),
                  default="regnet2d3d")
+# Constant smoothness factor for stage 1 (no decay). The default decay
+# schedule (0.1 -> 0.001 from epoch 10) ends basis-building training
+# essentially unregularized; on self-similar texture the dense net then
+# aligns intensity with folding, correspondence-wrong fields (round-5
+# 96^3 diagnosis: GT-span residual 0.99 at converged sim loss from BOTH
+# stage-1 losses, fields orthogonal to GT, dice stuck at identity 0.90,
+# folding_count ~1950). The true deformations are smooth; a strong
+# constant reg forces the only image-aligning fields to be the true ones.
+_ap.add_argument("--stage1_reg", type=float, default=None,
+                 help="constant reg_factor for stage 1 (disables decay)")
 # basis-span gate (VERDICT r4 #1): after stage 2, measure the GT-span
 # relative residual of the learned basis on the test split's gt_phi
 # (tools/basis_oracle.py) and ABORT before the stage-3 spend if it
@@ -109,6 +119,9 @@ s1["train"]["model"] = {"drr_feature_num": 4, "s2d_encoder": _args.s2d,
                         "inverse_iters": _args.stage1_inverse_iters,
                         "fast_vjp": _args.stage1_fast_vjp}
 s1["train"]["optim"]["lr"] = 5e-4
+if _args.stage1_reg is not None:
+    s1["train"]["loss"]["initial_reg_factor"] = _args.stage1_reg
+    s1["train"]["loss"]["min_reg_factor"] = _args.stage1_reg
 s1["train"]["cache_on_device"] = ("auto" if _args.stage1_cache == "auto"
                                   else _args.stage1_cache.lower() == "true")
 s1["train"]["dataloader"]["batch_size"] = _args.stage1_batch
