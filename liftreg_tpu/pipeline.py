@@ -48,7 +48,8 @@ class RegistrationPipeline:
                  refine_steps=0,
                  refine_lr=0.05, refine_sim="ncc", refine_sim_opts=None,
                  refine_reg_factor=1e-3, refine_domain="image",
-                 refine_early_stop_patience=None, refine_early_stop_tol=1e-4):
+                 refine_early_stop_patience=None, refine_early_stop_tol=1e-4,
+                 refine_fast_vjp=False):
         self.img_sz = tuple(int(s) for s in img_sz)
         self.spacing = tuple(float(s) for s in spacing)
         self.resolution = tuple(resolution) if resolution is not None \
@@ -103,7 +104,8 @@ class RegistrationPipeline:
                     warp_taps_dtype=warp_taps_dtype,
                     mesh=self.model.mesh,
                     early_stop_patience=refine_early_stop_patience,
-                    early_stop_tol=refine_early_stop_tol)
+                    early_stop_tol=refine_early_stop_tol,
+                    fast_vjp=refine_fast_vjp)
             elif refine_domain == "projection":
                 from .refine import make_projection_refiner
                 self._refiner = make_projection_refiner(
@@ -114,7 +116,8 @@ class RegistrationPipeline:
                     warp_taps_dtype=warp_taps_dtype,
                     mesh=self.model.mesh,
                     early_stop_patience=refine_early_stop_patience,
-                    early_stop_tol=refine_early_stop_tol)
+                    early_stop_tol=refine_early_stop_tol,
+                    fast_vjp=refine_fast_vjp)
             else:
                 raise ValueError(f"refine_domain {refine_domain!r} not in "
                                  f"('image', 'projection')")

@@ -130,6 +130,20 @@ def test_pipeline_refinement_improves_similarity():
     sim1 = float(ncc_loss(w1, target_cp))
     assert sim1 < sim0, (sim0, sim1)
 
+    # refine_fast_vjp routes refinement's warp gradients through the
+    # no-re-gather custom VJP (resample fast_vjp paths). Op-level gradient
+    # equality is pinned to 1e-5 in test_resample.py; over 40 adam steps
+    # the residual arithmetic difference compounds into a different (but
+    # comparably good) trajectory, so the pipeline-level contract is
+    # "improves the similarity like the default path does".
+    fv = RegistrationPipeline((SZ, SZ, SZ), latent_dim=LATENT, n_proj=2,
+                              refine_steps=40, refine_lr=0.1,
+                              refine_fast_vjp=True)
+    w2, phi2 = fv.register(params, pca, src_hu, tgt_hu, seg, seg)
+    sim2 = float(ncc_loss(w2, target_cp))
+    assert sim2 < sim0, (sim0, sim2)
+    np.testing.assert_allclose(sim2, sim1, atol=0.05)
+
 
 def _project_normalized(vol_atten, poses, resolution, spacing):
     from liftreg_tpu.ops import drr

@@ -62,7 +62,7 @@ def _device_inputs(keys, B, sz, n_proj, resolution):
     return source_hu, target_hu, seg, target_proj
 
 
-def bench_refine(steps, domain, B, sz, latent):
+def bench_refine(steps, domain, B, sz, latent, fast_vjp=False):
     import jax
     import jax.numpy as jnp
 
@@ -82,7 +82,8 @@ def bench_refine(steps, domain, B, sz, latent):
     for n_steps in (0, steps):
         pipe = RegistrationPipeline(
             (sz, sz, sz), latent_dim=latent, compute_dtype=jnp.bfloat16,
-            refine_steps=n_steps, refine_domain=domain)
+            refine_steps=n_steps, refine_domain=domain,
+            refine_fast_vjp=fast_vjp)
         if src is None:
             src, tgt, seg, proj = _device_inputs(
                 keys[2:6], B, sz, int(pipe.poses.shape[0]), pipe.resolution)
@@ -103,7 +104,8 @@ def bench_refine(steps, domain, B, sz, latent):
         float(acc)
         dt = _stream_time(call)
         results[n_steps] = (compile_s, dt)
-        print(f"refine_steps={n_steps:3d} domain={domain}: "
+        print(f"refine_steps={n_steps:3d} domain={domain} "
+              f"fast_vjp={fast_vjp}: "
               f"compile {compile_s:6.1f}s, {dt * 1e3:8.1f} ms/call "
               f"(B={B}, {B / dt:.2f} reg/s)")
     d0, dN = results[0][1], results[steps][1]
@@ -165,6 +167,8 @@ def main():
     ap.add_argument("--batch", type=int, default=4)
     ap.add_argument("--size", type=int, default=160)
     ap.add_argument("--latent", type=int, default=56)
+    ap.add_argument("--fast_vjp", action="store_true",
+                    help="refine through the no-re-gather custom-VJP warp")
     ap.add_argument("--artifact", default=None,
                     help="path to a .liftreg artifact: time load + first "
                          "call instead of the refine comparison")
@@ -183,7 +187,7 @@ def main():
         bench_artifact(args.artifact)
     else:
         bench_refine(args.steps, args.domain, args.batch, args.size,
-                     args.latent)
+                     args.latent, fast_vjp=args.fast_vjp)
 
 
 if __name__ == "__main__":

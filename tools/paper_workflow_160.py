@@ -81,6 +81,12 @@ _ap.add_argument("--stage1_loss", choices=("regnet2d3d", "image"),
 # constant reg forces the only image-aligning fields to be the true ones.
 _ap.add_argument("--stage1_reg", type=float, default=None,
                  help="constant reg_factor for stage 1 (disables decay)")
+# supervisor-driven resilience (flapping device tunnel): resume stage 1
+# from its latest periodic checkpoint instead of restarting from scratch
+_ap.add_argument("--stage1_resume", action="store_true",
+                 help="resume stage 1 from exp_regnet's latest checkpoint "
+                      "if one exists (full state: epoch, optimizer, "
+                      "schedule position)")
 # basis-span gate (VERDICT r4 #1): after stage 2, measure the GT-span
 # relative residual of the learned basis on the test split's gt_phi
 # (tools/basis_oracle.py) and ABORT before the stage-3 spend if it
@@ -122,6 +128,11 @@ s1["train"]["optim"]["lr"] = 5e-4
 if _args.stage1_reg is not None:
     s1["train"]["loss"]["initial_reg_factor"] = _args.stage1_reg
     s1["train"]["loss"]["min_reg_factor"] = _args.stage1_reg
+_s1_ckpt = os.path.join(exp_rn, "checkpoints", "latest_checkpoint.ckpt")
+if _args.stage1_resume and os.path.exists(_s1_ckpt):
+    s1["train"]["continue_train"] = True
+    s1["train"]["continue_from"] = _s1_ckpt
+    print(f"STAGE1 resuming from {_s1_ckpt}", flush=True)
 s1["train"]["cache_on_device"] = ("auto" if _args.stage1_cache == "auto"
                                   else _args.stage1_cache.lower() == "true")
 s1["train"]["dataloader"]["batch_size"] = _args.stage1_batch
