@@ -58,6 +58,55 @@ def broadband_noise(rng, shape, scale):
     return out * scale
 
 
+def anatomical_noise(rng, shape, scale):
+    """Broadband octaves plus coarse 32–64-voxel "lobar" octaves.
+
+    Round-5 measurement (RESULTS/r5_paper96_diagnosis.md): on the
+    2–16-voxel ``broadband`` texture, a converged dense stage-1 model
+    aligns intensity with correspondence-wrong fields — the texture is
+    statistically stationary, so every local patch has many equally good
+    matches and dense registration is ill-posed. Real lung CT is not
+    stationary: lobes, the diaphragm gradient and the mediastinum give
+    every region a globally unique coarse intensity signature (the
+    structure driving the coarse levels of every classical multi-res
+    registration). The coarse octaves here restore that property: a
+    permuted/wrong warp now misaligns the coarse signature and pays in
+    NCC, so true correspondence is the unique optimum."""
+    out = np.zeros(shape, np.float32)
+    for s, a in ((2, 0.35), (4, 0.3), (8, 0.25), (16, 0.3),
+                 (32, 0.55), (64, 0.75)):
+        out += smooth_noise(rng, shape, a, smooth=s)
+    out /= max(float(out.std()), 1e-6)
+    return out * scale
+
+
+def blob_anchors(rng, shape, lung_mask, n_blobs, sz):
+    """Bright nodule/bifurcation-like Gaussian anchors at unique random
+    positions inside the lung — the discrete, individually identifiable
+    landmarks (vessel bifurcations, nodules) that real parenchyma offers
+    a registration algorithm. Returns an additive HU map."""
+    vol = np.zeros(shape, np.float32)
+    idxs = np.argwhere(lung_mask)
+    if len(idxs) == 0:
+        return vol
+    D, W, H = shape
+    take = idxs[rng.choice(len(idxs), size=min(n_blobs, len(idxs)),
+                           replace=False)]
+    for c in take:
+        r = rng.uniform(0.015, 0.04) * sz
+        ri = max(2, int(np.ceil(2 * r)))
+        z, y, x = int(c[0]), int(c[1]), int(c[2])
+        zlo, ylo, xlo = max(z - ri, 0), max(y - ri, 0), max(x - ri, 0)
+        zhi, yhi, xhi = min(z + ri + 1, D), min(y + ri + 1, W), min(x + ri + 1, H)
+        g = np.mgrid[zlo - z:zhi - z, ylo - y:yhi - y, xlo - x:xhi - x]
+        d2 = (g.astype(np.float32) ** 2).sum(0)
+        amp = rng.uniform(250.0, 500.0)
+        vol[zlo:zhi, ylo:yhi, xlo:xhi] = np.maximum(
+            vol[zlo:zhi, ylo:yhi, xlo:xhi],
+            amp * np.exp(-d2 / (2.0 * r * r)).astype(np.float32))
+    return vol
+
+
 def vascular_tree(rng, shape, roots, n_roots=4, steps=None, branch_p=0.06,
                   radius0=None):
     """Branching-random-walk vessel tree density in [0, 1].
@@ -134,10 +183,16 @@ def make_phantom(rng, sz, texture="banded"):
         lc = cx + np.array([0, -0.05 * sz, side * 0.17 * sz])
         lung = (((zz - lc[0]) / (0.28 * sz)) ** 2 + ((yy - lc[1]) / (0.2 * sz)) ** 2
                 + ((xx - lc[2]) / (0.13 * sz)) ** 2) < 1.0
-        tex = (broadband_noise(rng, ct.shape, 1.0)
-               if texture in ("broadband", "vascular")
-               else smooth_noise(rng, ct.shape, 1.0))
+        if texture == "anatomical":
+            tex = anatomical_noise(rng, ct.shape, 1.0)
+        elif texture in ("broadband", "vascular"):
+            tex = broadband_noise(rng, ct.shape, 1.0)
+        else:
+            tex = smooth_noise(rng, ct.shape, 1.0)
         ct[lung] = -850.0 + 60 * tex[lung]
+        if texture == "anatomical":
+            anchors = blob_anchors(rng, ct.shape, lung, max(8, sz // 8), sz)
+            ct[lung] = ct[lung] + anchors[lung]
         if texture == "vascular":
             # vessel tree rooted at the hilum (medial lung edge): bright
             # branching tubes toward soft-tissue HU, the structure that
@@ -149,9 +204,16 @@ def make_phantom(rng, sz, texture="banded"):
     return ct, seg
 
 
-def random_disp(rng, sz, magnitude=0.06):
-    """Smooth random displacement field (3, D, W, H) in normalized units."""
-    return np.stack([smooth_noise(rng, (sz, sz, sz), magnitude, smooth=6)
+def random_disp(rng, sz, magnitude=0.06, smooth=6):
+    """Smooth random displacement field (3, D, W, H) in normalized units.
+
+    ``smooth`` is the feature wavelength in voxels. The historical
+    default (6) produces fields far harsher than respiratory motion —
+    displacement ≈ feature scale — which round 5 measured as a second
+    independent cause of stage-1 ill-posedness (no local window can
+    disambiguate a 5-voxel displacement that varies every 6 voxels).
+    Respiratory-like fields use ``smooth ≈ sz/4`` (diaphragm-scale)."""
+    return np.stack([smooth_noise(rng, (sz, sz, sz), magnitude, smooth=smooth)
                      for _ in range(3)])
 
 
@@ -168,9 +230,10 @@ class LowRankDeformationModel:
     learn; training measurably stalls (see DEMO.md).
     """
 
-    def __init__(self, rng, sz, rank=16, magnitude=0.06):
+    def __init__(self, rng, sz, rank=16, magnitude=0.06, smooth=6):
         norm = 1.0 / np.sqrt(rank)
-        self.basis = np.stack([random_disp(rng, sz, magnitude * norm)
+        self.basis = np.stack([random_disp(rng, sz, magnitude * norm,
+                                           smooth=smooth)
                                for _ in range(rank)])  # (K, 3, D, W, H)
         self.rank = rank
 
@@ -181,12 +244,13 @@ class LowRankDeformationModel:
 
 def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
              scan_range=30.0, latent=8, seed=0, deformation_rank=0,
-             texture="banded"):
+             texture="banded", deformation_smooth=6):
     """``deformation_rank > 0`` draws every case's deformation from a shared
     ``deformation_rank``-dimensional smooth subspace (the setting the
     method is designed for); 0 keeps fully independent random fields."""
     rng = np.random.default_rng(seed)
-    deform_model = (LowRankDeformationModel(rng, sz, deformation_rank)
+    deform_model = (LowRankDeformationModel(rng, sz, deformation_rank,
+                                            smooth=deformation_smooth)
                     if deformation_rank else None)
     pre = os.path.join(out, "preprocessed")
     os.makedirs(pre, exist_ok=True)
@@ -211,7 +275,7 @@ def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
             ids.append(cid)
             ct, seg = make_phantom(rng, sz, texture=texture)
             disp = (deform_model.sample(rng) if deform_model is not None
-                    else random_disp(rng, sz))
+                    else random_disp(rng, sz, smooth=deformation_smooth))
             phi = jnp.asarray(idm + disp)[None]
             # target = source warped by phi (in SAR; warp is orientation-free)
             tgt = np.asarray(resample.warp_image(
@@ -301,15 +365,24 @@ if __name__ == "__main__":
     ap.add_argument("--deformation_rank", type=int, default=0,
                     help="draw deformations from a shared low-rank smooth "
                          "subspace (0 = independent fields)")
-    ap.add_argument("--texture", choices=("banded", "broadband", "vascular"),
+    ap.add_argument("--texture",
+                    choices=("banded", "broadband", "vascular", "anatomical"),
                     default="banded",
                     help="lung texture: single 4-voxel octave (banded, the "
                          "round-2 default), multi-octave 2-16 voxel "
-                         "(broadband; LNCC-trainable, see DESIGN.md), or "
+                         "(broadband; LNCC-trainable, see DESIGN.md), "
                          "broadband + bright branching vessel trees "
                          "(vascular; restores sim-TRE correlation for "
-                         "instance refinement, DESIGN.md 2a)")
+                         "instance refinement, DESIGN.md 2a), or broadband "
+                         "+ coarse lobar octaves + unique bright anchors "
+                         "(anatomical; makes dense stage-1 registration "
+                         "well-posed, RESULTS/r5_paper96_diagnosis.md)")
+    ap.add_argument("--deformation_smooth", type=int, default=6,
+                    help="deformation feature wavelength in voxels "
+                         "(6 = historical harsh default; ~sz/4 = "
+                         "respiratory-like)")
     a = ap.parse_args()
     generate(a.out, a.n_train, a.n_val, a.n_test, a.size, a.n_proj,
              latent=a.latent, seed=a.seed,
-             deformation_rank=a.deformation_rank, texture=a.texture)
+             deformation_rank=a.deformation_rank, texture=a.texture,
+             deformation_smooth=a.deformation_smooth)
