@@ -23,6 +23,15 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+import jax  # noqa: E402
+
+# Honor JAX_PLATFORMS for real: under the axon TPU plugin the env var
+# alone does NOT prevent TPU backend init (see tests/conftest.py) — the
+# config update is required to actually run host-side, which is how this
+# generator overlaps with TPU training on the 1-core host.
+if os.environ.get("JAX_PLATFORMS"):
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 import jax.numpy as jnp  # noqa: E402
 
 from liftreg_tpu import coords, pca as pca_lib  # noqa: E402

@@ -24,9 +24,18 @@ import argparse, json, os, sys, time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache"))
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # Host-side run (e.g. while the device tunnel is degraded). The env
+    # var alone does not stop the axon plugin's backend init — the config
+    # update is required (tests/conftest.py). CPU compiles go to the
+    # CPU-only cache, never the committed TPU .jax_cache.
+    jax.config.update("jax_platforms", "cpu")
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, "tests", ".jax_cache_cpu"))
+else:
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(_REPO, ".jax_cache"))
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from liftreg_tpu.train import RegistrationTrainer
