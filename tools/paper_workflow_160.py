@@ -80,6 +80,22 @@ _ap.add_argument("--stage1_fast_vjp", action="store_true")
 # RegNetImageLoss. The basis only consumes the forward field either way.
 _ap.add_argument("--stage1_loss", choices=("regnet2d3d", "image"),
                  default="regnet2d3d")
+# What produces the basis-building deformations. The paper's statistical
+# deformation model is PCA over dense 3D-3D registrations of the training
+# pairs (README.md:10-11; the shipped pca_vectors.npy is such a model) —
+# classical per-pair optimization, NOT the projection-input network:
+# an amortized 2D/3D model only sees 4 limited-angle views, so its fields
+# can never span what the projections cannot determine (measured: 96^3
+# anatomical v2 gate, stage-1 RegNet residual 0.94 at converged loss —
+# RESULTS/r5_paper96b_regnet_gate.log). 'optreg' registers each training
+# pair by multi-level control-grid optimization against the full target
+# CT (liftreg_tpu/optreg.py) and builds PCA from those fields.
+_ap.add_argument("--stage1_mode", choices=("regnet", "optreg"),
+                 default="regnet")
+_ap.add_argument("--optreg_batch", type=int, default=2)
+_ap.add_argument("--optreg_sim", default="ncc")
+_ap.add_argument("--optreg_levels", default="",
+                 help="grid:steps:lr,... e.g. 10:80:0.04,20:60:0.02")
 # Constant smoothness factor for stage 1 (no decay). The default decay
 # schedule (0.1 -> 0.001 from epoch 10) ends basis-building training
 # essentially unregularized; on self-similar texture the dense net then
@@ -121,44 +137,60 @@ def base_setting(exp, epochs):
     })
 
 t0 = time.time()
-# ---- stage 1: dense RegNet2D3D, 2 epochs -----------------------------
-exp_rn = os.path.join(OUT, "exp_regnet")
-os.makedirs(exp_rn, exist_ok=True)
-s1 = base_setting(exp_rn, epochs=_args.stage1_epochs)
-s1["dataset"]["dataset_class"] = "registration2d3d_projloss"
-s1["dataset"]["apply_hu_clip"] = False
-s1["train"]["model_class"] = "regnet2d3d"
-s1["train"]["loss_class"] = ("regnet_image" if _args.stage1_loss == "image"
-                             else "regnet2d3d")
-s1["train"]["model"] = {"drr_feature_num": 4, "s2d_encoder": _args.s2d,
-                        "inverse_iters": _args.stage1_inverse_iters,
-                        "fast_vjp": _args.stage1_fast_vjp}
-s1["train"]["optim"]["lr"] = 5e-4
-if _args.stage1_reg is not None:
-    s1["train"]["loss"]["initial_reg_factor"] = _args.stage1_reg
-    s1["train"]["loss"]["min_reg_factor"] = _args.stage1_reg
-_s1_ckpt = os.path.join(exp_rn, "checkpoints", "latest_checkpoint.ckpt")
-if _args.stage1_resume and os.path.exists(_s1_ckpt):
-    s1["train"]["continue_train"] = True
-    s1["train"]["continue_from"] = _s1_ckpt
-    print(f"STAGE1 resuming from {_s1_ckpt}", flush=True)
-s1["train"]["cache_on_device"] = ("auto" if _args.stage1_cache == "auto"
-                                  else _args.stage1_cache.lower() == "true")
-s1["train"]["dataloader"]["batch_size"] = _args.stage1_batch
-RegistrationTrainer(s1).run()
-with open(os.path.join(exp_rn, "cur_task_setting.json"), "w") as f:
-    json.dump(s1, f)
-print(f"STAGE1 regnet done {round(time.time()-t0,1)}s", flush=True)
+if _args.stage1_mode == "optreg":
+    # ---- stage 1+2 fused: per-pair optimization -> PCA ----------------
+    from tools.build_pca import disp_from_optreg
+    levels = None
+    if _args.optreg_levels:
+        levels = tuple(tuple(float(x) if i == 2 else int(x)
+                             for i, x in enumerate(lv.split(":")))
+                       for lv in _args.optreg_levels.split(","))
+    X = disp_from_optreg(DATA, phase="train", levels=levels,
+                         sim=_args.optreg_sim, batch=_args.optreg_batch)
+    print(f"STAGE1 optreg done {round(time.time()-t0,1)}s", flush=True)
+else:
+    X = None
+if _args.stage1_mode == "regnet":
+    # ---- stage 1: dense RegNet2D3D, 2 epochs -----------------------------
+    exp_rn = os.path.join(OUT, "exp_regnet")
+    os.makedirs(exp_rn, exist_ok=True)
+    s1 = base_setting(exp_rn, epochs=_args.stage1_epochs)
+    s1["dataset"]["dataset_class"] = "registration2d3d_projloss"
+    s1["dataset"]["apply_hu_clip"] = False
+    s1["train"]["model_class"] = "regnet2d3d"
+    s1["train"]["loss_class"] = ("regnet_image" if _args.stage1_loss == "image"
+                                 else "regnet2d3d")
+    s1["train"]["model"] = {"drr_feature_num": 4, "s2d_encoder": _args.s2d,
+                            "inverse_iters": _args.stage1_inverse_iters,
+                            "fast_vjp": _args.stage1_fast_vjp}
+    s1["train"]["optim"]["lr"] = 5e-4
+    if _args.stage1_reg is not None:
+        s1["train"]["loss"]["initial_reg_factor"] = _args.stage1_reg
+        s1["train"]["loss"]["min_reg_factor"] = _args.stage1_reg
+    _s1_ckpt = os.path.join(exp_rn, "checkpoints", "latest_checkpoint.ckpt")
+    if _args.stage1_resume and os.path.exists(_s1_ckpt):
+        s1["train"]["continue_train"] = True
+        s1["train"]["continue_from"] = _s1_ckpt
+        print(f"STAGE1 resuming from {_s1_ckpt}", flush=True)
+    s1["train"]["cache_on_device"] = ("auto" if _args.stage1_cache == "auto"
+                                      else _args.stage1_cache.lower() == "true")
+    s1["train"]["dataloader"]["batch_size"] = _args.stage1_batch
+    RegistrationTrainer(s1).run()
+    with open(os.path.join(exp_rn, "cur_task_setting.json"), "w") as f:
+        json.dump(s1, f)
+    print(f"STAGE1 regnet done {round(time.time()-t0,1)}s", flush=True)
 
-# ---- stage 2: PCA from the trained dense model -----------------------
+# ---- stage 2: PCA from the stage-1 deformations -----------------------
 t1 = time.time()
-X = disp_from_experiment(DATA, os.path.join(exp_rn, "cur_task_setting.json"),
-                         phase="train")
+if X is None:
+    X = disp_from_experiment(DATA,
+                             os.path.join(exp_rn, "cur_task_setting.json"),
+                             phase="train")
 print("fields:", X.shape, flush=True)
 # PCA components cannot exceed the number of training fields
 latent = min(_args.latent, X.shape[0])
 vectors, mean = pca_lib.fit_pca(X, latent)
-pca_dir = os.path.join(OUT, "pca_from_regnet")
+pca_dir = os.path.join(OUT, f"pca_from_{_args.stage1_mode}")
 pca_lib.save_pca(pca_dir, vectors, mean)
 # explained-variance curve (VERDICT r3 #3: EVR vs TRE): nested subsets of
 # the fitted basis give EVR at every smaller K for free
