@@ -80,10 +80,21 @@ def anatomical_noise(rng, shape, scale):
     structure driving the coarse levels of every classical multi-res
     registration). The coarse octaves here restore that property: a
     permuted/wrong warp now misaligns the coarse signature and pays in
-    NCC, so true correspondence is the unique optimum."""
+    NCC, so true correspondence is the unique optimum.
+
+    Amplitude balance matters as much as octave coverage: the first cut
+    of this texture weighted the coarse octaves heaviest, and the 96³
+    TPU gate leg measured the consequence — identity NCC was already
+    0.92/val score 0.97 before training, i.e. the similarity landscape
+    was too forgiving for ~1–2-voxel displacements to generate any
+    training signal (RESULTS/r5_paper96a_v1_gate.log: score moved 0.9717
+    → 0.9789 over 40 epochs, basis GT-orthogonal). NCC sensitivity to a
+    displacement d comes from octaves with scale ≲ d, so the fine
+    octaves must carry the energy majority: ~65% here in scales 2–8,
+    with the 32/64-voxel octaves keeping ~25% for global uniqueness."""
     out = np.zeros(shape, np.float32)
-    for s, a in ((2, 0.35), (4, 0.3), (8, 0.25), (16, 0.3),
-                 (32, 0.55), (64, 0.75)):
+    for s, a in ((2, 0.5), (4, 0.4), (8, 0.3), (16, 0.25),
+                 (32, 0.3), (64, 0.35)):
         out += smooth_noise(rng, shape, a, smooth=s)
     out /= max(float(out.std()), 1e-6)
     return out * scale
@@ -253,12 +264,14 @@ class LowRankDeformationModel:
 
 def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
              scan_range=30.0, latent=8, seed=0, deformation_rank=0,
-             texture="banded", deformation_smooth=6):
+             texture="banded", deformation_smooth=6,
+             deformation_magnitude=0.06):
     """``deformation_rank > 0`` draws every case's deformation from a shared
     ``deformation_rank``-dimensional smooth subspace (the setting the
     method is designed for); 0 keeps fully independent random fields."""
     rng = np.random.default_rng(seed)
     deform_model = (LowRankDeformationModel(rng, sz, deformation_rank,
+                                            magnitude=deformation_magnitude,
                                             smooth=deformation_smooth)
                     if deformation_rank else None)
     pre = os.path.join(out, "preprocessed")
@@ -284,7 +297,8 @@ def generate(out, n_train=8, n_val=2, n_test=2, sz=64, n_proj=4,
             ids.append(cid)
             ct, seg = make_phantom(rng, sz, texture=texture)
             disp = (deform_model.sample(rng) if deform_model is not None
-                    else random_disp(rng, sz, smooth=deformation_smooth))
+                    else random_disp(rng, sz, deformation_magnitude,
+                                     smooth=deformation_smooth))
             phi = jnp.asarray(idm + disp)[None]
             # target = source warped by phi (in SAR; warp is orientation-free)
             tgt = np.asarray(resample.warp_image(
@@ -386,6 +400,10 @@ if __name__ == "__main__":
                          "+ coarse lobar octaves + unique bright anchors "
                          "(anatomical; makes dense stage-1 registration "
                          "well-posed, RESULTS/r5_paper96_diagnosis.md)")
+    ap.add_argument("--deformation_magnitude", type=float, default=0.06,
+                    help="deformation field scale in normalized units "
+                         "(0.06 = historical default ~5.5 mm identity "
+                         "TRE; 0.12 reaches the DirLab-COPD regime)")
     ap.add_argument("--deformation_smooth", type=int, default=6,
                     help="deformation feature wavelength in voxels "
                          "(6 = historical harsh default; ~sz/4 = "
@@ -394,4 +412,5 @@ if __name__ == "__main__":
     generate(a.out, a.n_train, a.n_val, a.n_test, a.size, a.n_proj,
              latent=a.latent, seed=a.seed,
              deformation_rank=a.deformation_rank, texture=a.texture,
-             deformation_smooth=a.deformation_smooth)
+             deformation_smooth=a.deformation_smooth,
+             deformation_magnitude=a.deformation_magnitude)
