@@ -209,10 +209,28 @@ def make_phantom(rng, sz, texture="banded"):
             tex = broadband_noise(rng, ct.shape, 1.0)
         else:
             tex = smooth_noise(rng, ct.shape, 1.0)
-        ct[lung] = -850.0 + 60 * tex[lung]
         if texture == "anatomical":
+            # Realistic parenchyma contrast. The +-60 HU first cut left
+            # intra-lung texture at ~0.12 amplitude after the [-1000,0]
+            # clip — ~2% of global NCC's gradient against the air/body
+            # contrast — and per-pair optimization recovered fields
+            # ORTHOGONAL to ground truth under every objective tried
+            # (ncc/lncc x masked/unmasked all rel_err ~ 1.0,
+            # RESULTS/r5_optreg_objective_ab.log): smooth boundaries
+            # constrain only the normal displacement component (aperture
+            # problem) and faint texture pins nothing. Real lungs span
+            # hundreds of HU (vessels -200..0 against -900 parenchyma),
+            # so v3 uses -700 +- 220 HU texture plus bright trees and
+            # anchors — structure strong enough for intensity descent to
+            # feel interior correspondence.
+            ct[lung] = -700.0 + 220.0 * tex[lung]
             anchors = blob_anchors(rng, ct.shape, lung, max(8, sz // 8), sz)
             ct[lung] = ct[lung] + anchors[lung]
+            hilum = lc + np.array([0.0, 0.0, -side * 0.10 * sz])
+            vess = vascular_tree(rng, ct.shape, hilum)
+            ct[lung] = ct[lung] + 500.0 * vess[lung]
+        else:
+            ct[lung] = -850.0 + 60 * tex[lung]
         if texture == "vascular":
             # vessel tree rooted at the hilum (medial lung edge): bright
             # branching tubes toward soft-tissue HU, the structure that
