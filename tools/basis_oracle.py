@@ -79,8 +79,10 @@ def main(argv=None):
         to_mm = (round(sz) - 1) / 2.0 * args.spacing
         mask = None
         if args.mask == "lung":
-            seg = np.load(os.path.join(args.data, "preprocessed",
-                                       f"{cid}_source_seg.npy"))
+            # gt_phi is stored in the SPR (axis-1-flipped) frame the model
+            # predicts in; the on-disk seg is SAR — flip to match.
+            seg = np.flip(np.load(os.path.join(
+                args.data, "preprocessed", f"{cid}_source_seg.npy")), axis=1)
             mask = np.repeat((seg > 0)[None], 3, 0).reshape(-1)
         rel = span_residual(x, V, mean, mask)
         xm = x if mask is None else x[mask]
